@@ -1,0 +1,138 @@
+"""Edge-aware directional depth blur, batched and jittable.
+
+TPU-native re-expression of the reference's directional motion blur
+(`directional_motion_blur` / `_gpu`, stereoimage_generation.py:1171-1251 and
+:1346-1419): Sobel-x edge detection, a horizontal distance transform expressed
+as prefix max/min scans, box motion blur, and a distance-weighted blend.
+
+Everything here is dense elementwise/conv/scan work that XLA fuses well; no
+Pallas needed. Operates on [..., H, W] float32 depth in the 0-255 domain
+(matching the reference's pre-scaling convention).
+
+Notes on the single-source-of-truth semantics:
+- The reference's CPU and GPU variants differ at image borders (scipy uses
+  reflect padding, torch conv2d uses zero padding). We follow the CPU variant
+  (the fidelity oracle): symmetric padding for Sobel, edge-replicate for the
+  box blurs (scipy `mode='nearest'`).
+- The reference builds "left" and "right" box kernels as `ones/n` and its
+  flip — identical arrays — so a single box blur is shared here.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import scan
+
+
+def sobel_x(x: jnp.ndarray) -> jnp.ndarray:
+    """Horizontal Sobel gradient with symmetric (scipy 'reflect') padding.
+
+    Separable: smooth [1,2,1] along H, central difference [-1,0,1] along W.
+    x: [..., H, W] -> [..., H, W]
+    """
+    pad_h = [(0, 0)] * (x.ndim - 2) + [(1, 1), (0, 0)]
+    pad_w = [(0, 0)] * (x.ndim - 2) + [(0, 0), (1, 1)]
+    xs = jnp.pad(x, pad_h, mode="symmetric")
+    smooth = xs[..., :-2, :] + 2.0 * xs[..., 1:-1, :] + xs[..., 2:, :]
+    sw = jnp.pad(smooth, pad_w, mode="symmetric")
+    return sw[..., :, 2:] - sw[..., :, :-2]
+
+
+def box_blur_w(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Box mean of width n along W with edge-replicate padding.
+
+    Window placement matches scipy.ndimage.convolve1d(mode='nearest'):
+    output[i] = mean(x[i + n//2 - n + 1 : i + n//2 + 1]).
+    """
+    if n <= 1:
+        return x
+    left, right = n - 1 - n // 2, n // 2
+    pad = [(0, 0)] * (x.ndim - 1) + [(left, right)]
+    xp = jnp.pad(x, pad, mode="edge")
+    summed = jax.lax.reduce_window(
+        xp, 0.0, jax.lax.add,
+        window_dimensions=(1,) * (x.ndim - 1) + (n,),
+        window_strides=(1,) * x.ndim,
+        padding="VALID")
+    return summed / n
+
+
+def box_blur_h(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Box mean of width 2*radius+1 along H with edge-replicate padding."""
+    if radius <= 0:
+        return x
+    n = 2 * radius + 1
+    pad = [(0, 0)] * (x.ndim - 2) + [(radius, radius), (0, 0)]
+    xp = jnp.pad(x, pad, mode="edge")
+    summed = jax.lax.reduce_window(
+        xp, 0.0, jax.lax.add,
+        window_dimensions=(1,) * (x.ndim - 2) + (n, 1),
+        window_strides=(1,) * x.ndim,
+        padding="VALID")
+    return summed / n
+
+
+def edge_distance_weight(edge_mask: jnp.ndarray, mask_radius: int,
+                         falloff_exponent: float) -> jnp.ndarray:
+    """weight = clip(1 - dist/mask_radius, 0, 1)^falloff, dist = horizontal
+    distance to the nearest edge pixel in the row (reference :1131-1168).
+
+    edge_mask: [..., H, W] bool -> float32 weights in [0, 1].
+    """
+    w = edge_mask.shape[-1]
+    cols = jnp.arange(w, dtype=jnp.float32)
+    large = jnp.float32(mask_radius + 1)
+
+    left_idx = scan.nearest_true_left(edge_mask)          # -1 if none
+    dist_l = jnp.where(left_idx >= 0, cols - left_idx.astype(jnp.float32), large)
+    right_idx = scan.nearest_true_right(edge_mask)        # W if none
+    dist_r = jnp.where(right_idx < w, right_idx.astype(jnp.float32) - cols, large)
+
+    dist = jnp.minimum(dist_l, dist_r)
+    base = jnp.clip(1.0 - dist / mask_radius, 0.0, 1.0)
+    return jnp.power(base, falloff_exponent)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "blur_strength", "blur_mask_width", "vert_smooth_px"))
+def _directional_blur_impl(depth, blur_strength: int, edge_threshold,
+                           blur_mask_width: int, falloff_exponent,
+                           vert_smooth_px: int):
+    grad = sobel_x(depth)
+    edge_str = jnp.clip(jnp.abs(grad) / (10.0 * edge_threshold), 0.0, 1.0)
+    left_edges = (grad > 0) & (edge_str > 0.5)
+    right_edges = (grad < 0) & (edge_str > 0.5)
+
+    wl = edge_distance_weight(left_edges, blur_mask_width, falloff_exponent)
+    wr = edge_distance_weight(right_edges, blur_mask_width, falloff_exponent)
+
+    if vert_smooth_px > 0:
+        wl = jnp.clip(box_blur_h(wl, vert_smooth_px), 0.0, 1.0)
+        wr = jnp.clip(box_blur_h(wr, vert_smooth_px), 0.0, 1.0)
+
+    blurred = box_blur_w(depth, blur_strength)
+    left = wl * blurred + (1.0 - wl) * depth
+    right = wr * blurred + (1.0 - wr) * depth
+    return left, right
+
+
+def directional_motion_blur(depth: jnp.ndarray, blur_strength: float,
+                            edge_threshold: float, blur_mask_width: float = 5,
+                            falloff_exponent: float = 1.0,
+                            vert_smooth_px: int = 0):
+    """Directional depth blur producing per-eye depth maps.
+
+    The left eye blurs dark->light (rising) edges, the right eye light->dark,
+    each blended by a distance-transform weight around the edge.
+
+    depth: [..., H, W] float32 (0-255 domain). Returns (left, right).
+    """
+    if blur_strength <= 0:
+        return depth, depth
+    n = int(round(blur_strength))
+    return _directional_blur_impl(
+        depth.astype(jnp.float32), n, jnp.float32(edge_threshold),
+        int(blur_mask_width), jnp.float32(falloff_exponent), int(vert_smooth_px))
