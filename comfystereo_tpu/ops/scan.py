@@ -62,6 +62,45 @@ def segmented_running_min(values: jnp.ndarray, reset: jnp.ndarray) -> jnp.ndarra
     return out
 
 
+def forward_fill(values, valid: jnp.ndarray):
+    """Propagate the last valid value rightward along the last axis.
+
+    values: pytree of arrays [..., W]; valid: bool [..., W].
+    Returns (filled_values, has_value) — positions before the first valid
+    entry keep their original value with has_value False.
+
+    Replaces the gather-at-nearest-true-index idiom with a pure carry scan
+    (gathers are scalarized on TPU; scans are vectorized).
+    """
+    leaves = jax.tree.leaves(values)
+
+    def comb(a, b):
+        ah, bh = a[-1], b[-1]
+        out = tuple(jnp.where(bh, bv, av) for av, bv in zip(a[:-1], b[:-1]))
+        return out + (ah | bh,)
+
+    res = jax.lax.associative_scan(
+        comb, tuple(leaves) + (valid,), axis=valid.ndim - 1)
+    filled = jax.tree.unflatten(jax.tree.structure(values), res[:-1])
+    return filled, res[-1]
+
+
+def backward_fill(values, valid: jnp.ndarray):
+    """Propagate the next valid value leftward along the last axis."""
+    leaves = jax.tree.leaves(values)
+
+    def comb(a, b):
+        # reverse orientation: `a` is nearer to the current position
+        ah, bh = a[-1], b[-1]
+        out = tuple(jnp.where(ah, av, bv) for av, bv in zip(a[:-1], b[:-1]))
+        return out + (ah | bh,)
+
+    res = jax.lax.associative_scan(
+        comb, tuple(leaves) + (valid,), axis=valid.ndim - 1, reverse=True)
+    filled = jax.tree.unflatten(jax.tree.structure(values), res[:-1])
+    return filled, res[-1]
+
+
 def searchsorted_rows(sorted_rows: jnp.ndarray, queries: jnp.ndarray,
                       side: str = "right") -> jnp.ndarray:
     """Batched searchsorted: each row of `sorted_rows` is non-decreasing.
