@@ -2,6 +2,10 @@
 
 Multi-device sharding is exercised without a TPU pod via
 xla_force_host_platform_device_count (SURVEY.md §4).
+
+Note: env vars alone are not enough on hosts whose site customization
+registers an accelerator plugin programmatically (it overrides JAX_PLATFORMS),
+so the platform is also forced through jax.config before any backend use.
 """
 import os
 
@@ -9,3 +13,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
