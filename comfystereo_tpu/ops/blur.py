@@ -96,6 +96,27 @@ def edge_distance_weight(edge_mask: jnp.ndarray, mask_radius: int,
     return jnp.power(base, falloff_exponent)
 
 
+def _edge_weights_pair(left_mask, right_mask, mask_radius: int,
+                       falloff_exponent):
+    """Both eyes' distance weights; fused Pallas transform on TPU."""
+    if jax.default_backend() == "tpu":
+        from ..pallas.distance import edge_distances
+
+        shape = left_mask.shape
+        w = shape[-1]
+        dl, dr = edge_distances(left_mask.reshape(-1, w),
+                                right_mask.reshape(-1, w), w=w)
+        dl = dl.reshape(shape)
+        dr = dr.reshape(shape)
+        wl = jnp.power(jnp.clip(1.0 - dl / mask_radius, 0.0, 1.0),
+                       falloff_exponent)
+        wr = jnp.power(jnp.clip(1.0 - dr / mask_radius, 0.0, 1.0),
+                       falloff_exponent)
+        return wl, wr
+    return (edge_distance_weight(left_mask, mask_radius, falloff_exponent),
+            edge_distance_weight(right_mask, mask_radius, falloff_exponent))
+
+
 @functools.partial(jax.jit, static_argnames=(
     "blur_strength", "blur_mask_width", "vert_smooth_px"))
 def _directional_blur_impl(depth, blur_strength: int, edge_threshold,
@@ -106,8 +127,8 @@ def _directional_blur_impl(depth, blur_strength: int, edge_threshold,
     left_edges = (grad > 0) & (edge_str > 0.5)
     right_edges = (grad < 0) & (edge_str > 0.5)
 
-    wl = edge_distance_weight(left_edges, blur_mask_width, falloff_exponent)
-    wr = edge_distance_weight(right_edges, blur_mask_width, falloff_exponent)
+    wl, wr = _edge_weights_pair(left_edges, right_edges, blur_mask_width,
+                                falloff_exponent)
 
     if vert_smooth_px > 0:
         wl = jnp.clip(box_blur_h(wl, vert_smooth_px), 0.0, 1.0)

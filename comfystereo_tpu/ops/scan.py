@@ -86,13 +86,17 @@ def forward_fill(values, valid: jnp.ndarray):
 
 
 def backward_fill(values, valid: jnp.ndarray):
-    """Propagate the next valid value leftward along the last axis."""
+    """Propagate the next valid value leftward along the last axis.
+
+    reverse=True flips the array, scans forward, and flips back — so the
+    nearest-to-the-right element in original coordinates is the LATER operand
+    in flipped scan order, and the combine is identical to forward_fill's.
+    """
     leaves = jax.tree.leaves(values)
 
     def comb(a, b):
-        # reverse orientation: `a` is nearer to the current position
         ah, bh = a[-1], b[-1]
-        out = tuple(jnp.where(ah, av, bv) for av, bv in zip(a[:-1], b[:-1]))
+        out = tuple(jnp.where(bh, bv, av) for av, bv in zip(a[:-1], b[:-1]))
         return out + (ah | bh,)
 
     res = jax.lax.associative_scan(

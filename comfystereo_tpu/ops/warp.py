@@ -177,19 +177,48 @@ def _forward_warp_monotone(image, norm_depth, offset, gradient_threshold,
     return warped, gap
 
 
+def _forward_warp_fused(image, norm_depth, offset, gradient_threshold,
+                        max_stretch, max_disp: int, interpret: bool):
+    """Single fused Pallas kernel path (pallas/warp_kernel.py)."""
+    from ..pallas.warp_kernel import warp_scanline
+
+    b, h, w = offset.shape
+    c = image.shape[-1]
+    planes = jnp.moveaxis(image, -1, 0).reshape(c, b * h, w)
+    if c == 1:
+        planes = jnp.concatenate([planes] * 3, axis=0)
+    r, g, bl, gap = warp_scanline(
+        offset.reshape(b * h, w), norm_depth.reshape(b * h, w),
+        planes[0], planes[1], planes[2], w=w,
+        gradient_threshold=float(gradient_threshold),
+        max_stretch=int(max_stretch), max_disp=int(max_disp),
+        interpret=interpret)
+    warped = jnp.stack([x.reshape(b, h, w) for x in (r, g, bl)[:max(c, 1)]],
+                       axis=-1)
+    return warped, gap.reshape(b, h, w) > 0.5
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "negative_divergence", "gradient_threshold", "max_stretch", "max_disp"))
+    "negative_divergence", "gradient_threshold", "max_stretch", "max_disp",
+    "impl"))
 def _forward_warp_jit(image, norm_depth, offset, negative_divergence: bool,
                       gradient_threshold: float, max_stretch: int,
-                      max_disp: int):
+                      max_disp: int, impl: str = "auto"):
     if negative_divergence:
         image = jnp.flip(image, axis=-2)
         norm_depth = jnp.flip(norm_depth, axis=-1)
         offset = -jnp.flip(offset, axis=-1)
-        warped, gap = _forward_warp_monotone(
-            image, norm_depth, offset, gradient_threshold, max_stretch,
-            max_disp)
+        warped, gap = _forward_warp_jit(
+            image, norm_depth, offset, False, gradient_threshold, max_stretch,
+            max_disp, impl)
         return jnp.flip(warped, axis=-2), jnp.flip(gap, axis=-1)
+    use_pallas = (impl == "pallas"
+                  or (impl == "auto" and jax.default_backend() == "tpu"
+                      and image.shape[-1] == 3))
+    if use_pallas:
+        return _forward_warp_fused(
+            image, norm_depth, offset, gradient_threshold, max_stretch,
+            max_disp, interpret=jax.default_backend() != "tpu")
     return _forward_warp_monotone(
         image, norm_depth, offset, gradient_threshold, max_stretch, max_disp)
 
@@ -198,7 +227,8 @@ def forward_warp(image: jnp.ndarray, depth: jnp.ndarray, divergence_px: float,
                  separation_px: float, stereo_offset_exponent: float,
                  convergence_point: float = 0.5,
                  gradient_threshold: float = 1.5,
-                 max_stretch: int = 8) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 max_stretch: int = 8,
+                 impl: str = "auto") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward warp one eye. Reference spec: forward_warp_gpu (:277-450).
 
     image: [B, H, W, C] float 0-1; depth: [B, H, W] (any scale, normalized
@@ -217,4 +247,4 @@ def forward_warp(image: jnp.ndarray, depth: jnp.ndarray, divergence_px: float,
     return _forward_warp_jit(
         image.astype(jnp.float32), nd, offset,
         bool(divergence_px < 0), float(gradient_threshold), int(max_stretch),
-        max_disp)
+        max_disp, impl)
