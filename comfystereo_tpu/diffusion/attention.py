@@ -1,0 +1,88 @@
+"""Bilateral-Neighbor (BN) attention for stereo-consistent diffusion.
+
+Reference spec: BNAttention (stereo_utils.py:91-187) — after `start_step`,
+every self-attention layer recomputes attention with the left/right views'
+tokens concatenated along the sequence axis so each eye attends across both
+views; 'uni' restricts keys/values to the left view, 'bi' uses both. Under
+CFG the batch layout is [uncond_L, uncond_R, cond_L, cond_R].
+
+TPU-native design: instead of monkey-patching module forwards (the reference
+walks the UNet and replaces nn.Module.forward closures,
+stereo_utils.py:190-307), attention behavior is a PURE FUNCTION selected by an
+`AttentionMode` value threaded through the flax UNet — no mutable
+step-counting editor objects; the "current step >= start step" decision is a
+traced boolean so the whole denoising loop stays scan-compatible.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class AttentionMode:
+    """Static attention configuration for one UNet invocation."""
+
+    stereo: bool = False          # apply BN attention to self-attention
+    direction: str = "uni"        # 'uni' | 'bi'
+    use_cfg: bool = True          # batch is [u_L, u_R, c_L, c_R] vs [L, R]
+
+
+def standard_attention(q, k, v, scale: float) -> jnp.ndarray:
+    """Plain softmax attention. q,k,v: [B, H, N, D]."""
+    sim = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+    attn = jax.nn.softmax(sim, axis=-1)
+    return jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+
+
+def _stereo_pair_attention(q, k, v, scale: float, uni: bool) -> jnp.ndarray:
+    """BN attention over a [2b, H, N, D] (left, right) stacked batch.
+
+    Queries stay per-view; keys/values concatenate both views' tokens
+    (reference attn_batch, stereo_utils.py:119-133). With `uni`, keys/values
+    come from the LEFT view only (:163-171).
+    """
+    two_b, h, n, d = q.shape
+    b = two_b // 2
+    qs = q.reshape(2, b, h, n, d)
+    ks = k.reshape(2, b, h, n, d)
+    vs = v.reshape(2, b, h, n, d)
+    if uni:
+        k_cat = ks[0]                                   # [b,h,n,d] left only
+        v_cat = vs[0]
+    else:
+        k_cat = jnp.concatenate([ks[0], ks[1]], axis=2)  # [b,h,2n,d]
+        v_cat = jnp.concatenate([vs[0], vs[1]], axis=2)
+    # Each view's queries attend to the shared token pool.
+    q_cat = qs.reshape(2 * b, h, n, d)
+    k_rep = jnp.concatenate([k_cat, k_cat], axis=0)
+    v_rep = jnp.concatenate([v_cat, v_cat], axis=0)
+    return standard_attention(q_cat, k_rep, v_rep, scale)
+
+
+def bn_attention(q, k, v, scale: float, *, is_cross: bool,
+                 mode: AttentionMode, active) -> jnp.ndarray:
+    """Attention with optional stereo coupling.
+
+    q,k,v: [B, H, N, D]. `active` may be a traced bool (current step has
+    passed start_step). Cross-attention always stays standard (:137).
+    """
+    base = standard_attention(q, k, v, scale)
+    if is_cross or not mode.stereo:
+        return base
+
+    uni = mode.direction == "uni"
+    if mode.use_cfg:
+        b4 = q.shape[0]
+        half = b4 // 2
+        out_u = _stereo_pair_attention(q[:half], k[:half], v[:half], scale, uni)
+        out_c = _stereo_pair_attention(q[half:], k[half:], v[half:], scale, uni)
+        stereo_out = jnp.concatenate([out_u, out_c], axis=0)
+    else:
+        stereo_out = _stereo_pair_attention(q, k, v, scale, uni)
+
+    if isinstance(active, bool):
+        return stereo_out if active else base
+    return jnp.where(active, stereo_out, base)

@@ -1,0 +1,156 @@
+"""Pure-functional diffusion schedulers (DDIM / Euler / PNDM-lite).
+
+JAX re-design of the scheduler surface the reference relies on
+(diffusers DDIMScheduler/EulerDiscreteScheduler/PNDMScheduler; created in
+model_wrappers.py:419-459 and model_loader.py:46-62): a frozen config + pure
+step functions over precomputed coefficient tables, so whole denoising loops
+jit/scan cleanly — no mutable scheduler state objects.
+
+The DDIM closed-form `next_step` used for inversion mirrors
+inversion.py:57-75 in the reference.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionSchedule:
+    """Precomputed noise schedule (immutable, hashable by identity)."""
+
+    num_train_timesteps: int
+    alphas_cumprod: np.ndarray          # [T] float32 (host constants)
+    final_alpha_cumprod: float
+    timesteps: np.ndarray               # [num_inference_steps] descending
+    num_inference_steps: int
+    sigmas: np.ndarray | None = None    # Euler only
+
+    def step_ratio(self) -> int:
+        return self.num_train_timesteps // self.num_inference_steps
+
+
+def _beta_schedule(num_train_timesteps: int = 1000, beta_start: float = 0.00085,
+                   beta_end: float = 0.012, kind: str = "scaled_linear"):
+    if kind == "scaled_linear":
+        betas = np.linspace(beta_start ** 0.5, beta_end ** 0.5,
+                            num_train_timesteps, dtype=np.float64) ** 2
+    else:
+        betas = np.linspace(beta_start, beta_end, num_train_timesteps,
+                            dtype=np.float64)
+    alphas = 1.0 - betas
+    return np.cumprod(alphas).astype(np.float32)
+
+
+def make_ddim(num_inference_steps: int = 50, num_train_timesteps: int = 1000,
+              beta_start: float = 0.00085, beta_end: float = 0.012,
+              set_alpha_to_one: bool = False,
+              steps_offset: int = 1) -> DiffusionSchedule:
+    """DDIM schedule with diffusers-compatible timestep spacing."""
+    ac = _beta_schedule(num_train_timesteps, beta_start, beta_end)
+    ratio = num_train_timesteps // num_inference_steps
+    timesteps = (np.arange(0, num_inference_steps) * ratio).round()[::-1]
+    timesteps = (timesteps + steps_offset).clip(0, num_train_timesteps - 1)
+    final = 1.0 if set_alpha_to_one else float(ac[0])
+    return DiffusionSchedule(
+        num_train_timesteps=num_train_timesteps,
+        alphas_cumprod=ac, final_alpha_cumprod=final,
+        timesteps=timesteps.astype(np.int32),
+        num_inference_steps=num_inference_steps)
+
+
+def _alpha_at(sched: DiffusionSchedule, t):
+    """alphas_cumprod[t] with t possibly < 0 -> final_alpha_cumprod."""
+    ac = jnp.asarray(sched.alphas_cumprod)
+    val = ac[jnp.clip(t, 0, sched.num_train_timesteps - 1)]
+    return jnp.where(t >= 0, val, sched.final_alpha_cumprod)
+
+
+def ddim_step(sched: DiffusionSchedule, model_output: jnp.ndarray,
+              t, sample: jnp.ndarray, eta: float = 0.0) -> jnp.ndarray:
+    """One deterministic DDIM denoising step: x_t -> x_{t-ratio}.
+
+    Matches the reference prev_step closed form (inversion.py:57-65).
+    """
+    del eta
+    prev_t = t - sched.step_ratio()
+    a_t = _alpha_at(sched, t)
+    a_prev = _alpha_at(sched, prev_t)
+    beta_t = 1.0 - a_t
+    pred_x0 = (sample - jnp.sqrt(beta_t) * model_output) / jnp.sqrt(a_t)
+    direction = jnp.sqrt(1.0 - a_prev) * model_output
+    return jnp.sqrt(a_prev) * pred_x0 + direction
+
+
+def ddim_next_step(sched: DiffusionSchedule, model_output: jnp.ndarray,
+                   t, sample: jnp.ndarray) -> jnp.ndarray:
+    """Inverse DDIM step x_t -> x_{t+ratio} (inversion; reference :67-75)."""
+    cur_t = jnp.minimum(t - sched.step_ratio(), sched.num_train_timesteps - 1)
+    next_t = t
+    a_t = _alpha_at(sched, cur_t)
+    a_next = _alpha_at(sched, next_t)
+    beta_t = 1.0 - a_t
+    pred_x0 = (sample - jnp.sqrt(beta_t) * model_output) / jnp.sqrt(a_t)
+    direction = jnp.sqrt(1.0 - a_next) * model_output
+    return jnp.sqrt(a_next) * pred_x0 + direction
+
+
+def add_noise(sched: DiffusionSchedule, original: jnp.ndarray,
+              noise: jnp.ndarray, t) -> jnp.ndarray:
+    a_t = _alpha_at(sched, t)
+    return jnp.sqrt(a_t) * original + jnp.sqrt(1.0 - a_t) * noise
+
+
+def scale_model_input(sched: DiffusionSchedule, sample: jnp.ndarray,
+                      t) -> jnp.ndarray:
+    """DDIM: identity. Euler: divide by sqrt(sigma^2+1) (see make_euler)."""
+    if sched.sigmas is None:
+        return sample
+    idx = _sigma_index(sched, t)
+    sigma = jnp.asarray(sched.sigmas)[idx]
+    return sample / jnp.sqrt(sigma ** 2 + 1.0)
+
+
+def make_euler(num_inference_steps: int = 50, num_train_timesteps: int = 1000,
+               beta_start: float = 0.00085,
+               beta_end: float = 0.012) -> DiffusionSchedule:
+    """Euler discrete schedule (karras-free, linspace timesteps)."""
+    ac = _beta_schedule(num_train_timesteps, beta_start, beta_end)
+    sigmas_full = np.sqrt((1.0 - ac) / ac)
+    timesteps = np.linspace(0, num_train_timesteps - 1,
+                            num_inference_steps)[::-1].copy()
+    sigmas = np.interp(timesteps, np.arange(num_train_timesteps), sigmas_full)
+    sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
+    return DiffusionSchedule(
+        num_train_timesteps=num_train_timesteps, alphas_cumprod=ac,
+        final_alpha_cumprod=float(ac[0]),
+        timesteps=timesteps.astype(np.int32),
+        num_inference_steps=num_inference_steps, sigmas=sigmas)
+
+
+def _sigma_index(sched: DiffusionSchedule, t):
+    ts = jnp.asarray(sched.timesteps)
+    return jnp.argmin(jnp.abs(ts - t))
+
+
+def euler_step(sched: DiffusionSchedule, model_output: jnp.ndarray,
+               t, sample: jnp.ndarray) -> jnp.ndarray:
+    idx = _sigma_index(sched, t)
+    sigmas = jnp.asarray(sched.sigmas)
+    sigma = sigmas[idx]
+    pred_x0 = sample - sigma * model_output
+    derivative = (sample - pred_x0) / sigma
+    dt = sigmas[idx + 1] - sigma
+    return sample + derivative * dt
+
+
+def pndm_skip_timesteps(sched: DiffusionSchedule, strength: float):
+    """Strength-based step skipping for img2img/inpaint
+    (reference model_wrappers.py:592-593): keep the last strength fraction."""
+    n = sched.num_inference_steps
+    start = min(int(n * (1.0 - strength)), n - 1)
+    return sched.timesteps[start:]

@@ -1,0 +1,245 @@
+"""StereoDiffusion generation pipelines (JAX).
+
+Two paths, mirroring the reference node (stereodiffusion_nodes.py):
+
+1.  `text2stereo` — the Standard (DDIM) path (:575-682): DDIM inversion +
+    null-text optimization, then a CFG denoising loop where
+      * every self-attention layer runs Bilateral-Neighbor attention after
+        20% of the steps (stereo-consistent features),
+      * at the 20% step the left latent is depth-shifted to seed the right
+        latent (optionally replacing disoccluded latent with fresh noise =
+        "deblur"), and the shift is re-applied on the masked region every
+        further 20% of steps (:649-667).
+
+2.  `warp_inpaint` — the Fast (Warp + Inpaint) path (:309-573): backward-warp
+    the right eye, detect disocclusions (warped-depth comparison + 3x3
+    dilation + out-of-bounds), prefill gaps by horizontal border
+    interpolation, diffusion-inpaint the masked region, and recomposite.
+
+Deviation (documented): the reference's inpaint runner drives a dedicated
+9-channel SD-inpainting UNet (model_wrappers.py:488-641). Here inpainting
+uses masked-latent blending at every step (works with ANY latent diffusion
+model); a 9-channel UNet can be plugged in through DiffusionModel.unet_apply.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import schedulers
+from .attention import AttentionMode
+from .inversion import image_to_latent, latent_to_image, invert
+from .models import DiffusionModel
+from .stereo_latent import stereo_shift_with_mask
+
+
+class StereoResult(NamedTuple):
+    left: jnp.ndarray     # [B, H, W, 3] float 0-1
+    right: jnp.ndarray
+
+
+def _to_01(img_nchw):
+    return jnp.clip(jnp.transpose(img_nchw, (0, 2, 3, 1)) / 2.0 + 0.5, 0, 1)
+
+
+def _nan_guard(x):
+    """Reference scrubs NaN/inf from decoded images
+    (stereodiffusion_nodes.py:676, model_wrappers.py:633)."""
+    return jnp.nan_to_num(x, nan=0.0, posinf=1.0, neginf=0.0)
+
+
+def text2stereo(model: DiffusionModel, image_nchw: jnp.ndarray,
+                depth: jnp.ndarray, prompt: str = "",
+                scale_factor: float = 5.0, direction: str = "uni",
+                deblur: bool = True, guidance_scale: float = 7.5,
+                num_inference_steps: int = 50,
+                null_text_optimization: bool = False,
+                num_inner_steps: int = 10, seed: int = 0,
+                use_cfg: bool = True) -> StereoResult:
+    """Standard (DDIM) StereoDiffusion for one frame.
+
+    image_nchw: [1, 3, H, W] in [-1, 1]; depth: [1, H, W] (any scale).
+    """
+    sched = schedulers.make_ddim(num_inference_steps)
+    inv = invert(model, image_nchw, prompt,
+                 num_ddim_steps=num_inference_steps,
+                 guidance_scale=guidance_scale,
+                 num_inner_steps=num_inner_steps,
+                 null_text_optimization=null_text_optimization)
+    cond = model.text_encode(prompt)
+
+    lh, lw = inv.latents.shape[-2:]
+    depth_lat = jax.image.resize(depth.astype(jnp.float32),
+                                 (depth.shape[0], lh, lw), "bilinear")
+
+    shift_every = max(int(num_inference_steps * 0.2), 1)   # (:595-597)
+    start_step = shift_every
+    mode = AttentionMode(stereo=True, direction=direction, use_cfg=use_cfg)
+    rng = jax.random.PRNGKey(seed)
+
+    latents = jnp.concatenate([inv.latents[-1]] * 2, axis=0)  # [2,C,h,w]
+    mask = None
+
+    for i in range(num_inference_steps):
+        t = jnp.int32(sched.timesteps[i])
+        stereo_active = i >= start_step
+
+        if i == start_step or (stereo_active and i % shift_every == 0
+                               and mask is not None):
+            left = latents[:1]
+            shifted, hit = stereo_shift_with_mask(left, depth_lat,
+                                                  scale_factor)
+            if mask is None:
+                mask = hit[:, None].astype(jnp.float32)     # [1,1,h,w]
+                right = shifted
+                if deblur:                                  # (:657-660)
+                    rng, sub = jax.random.split(rng)
+                    noise = jax.random.normal(sub, shifted.shape)
+                    right = jnp.where(mask > 0.5, shifted, noise)
+            else:                                           # (:662-667)
+                right = jnp.where(mask > 0.5, shifted, latents[1:])
+            latents = jnp.concatenate([left, right], axis=0)
+
+        uncond_i = inv.uncond_embeddings[min(i, len(inv.uncond_embeddings) - 1)]
+        n_views = latents.shape[0]
+        ctx = jnp.concatenate(
+            [jnp.repeat(uncond_i, n_views, axis=0),
+             jnp.repeat(cond, n_views, axis=0)], axis=0)
+        lat_in = jnp.concatenate([latents] * 2, axis=0)
+        eps = model.unet_apply(model.unet_params, lat_in, t, ctx,
+                               mode=mode, stereo_active=stereo_active)
+        eps_u, eps_c = jnp.split(eps, 2, axis=0)
+        eps = eps_u + guidance_scale * (eps_c - eps_u)
+        latents = schedulers.ddim_step(sched, eps, t, latents)
+
+    images = _nan_guard(_to_01(latent_to_image(model, latents)))
+    return StereoResult(left=images[:1], right=images[1:])
+
+
+# ---------------------------------------------------------------------------
+# Fast path: warp + inpaint
+# ---------------------------------------------------------------------------
+
+def backward_warp_right(image_nhwc: jnp.ndarray, depth: jnp.ndarray,
+                        divergence: float, exponent: float = 1.0,
+                        convergence: float = 0.5):
+    """Backward grid-sample warp for the right eye plus disocclusion mask
+    (reference :426-491): warped-depth comparison (threshold 0.05), 3x3 max
+    dilation, and out-of-bounds union."""
+    from ..ops import depth as depth_ops
+
+    b, h, w, c = image_nhwc.shape
+    nd = depth_ops.normalize_depth(depth)
+    off = depth_ops.pixel_offsets(nd, (divergence / 100.0) * w, 0.0,
+                                  exponent, convergence, prenormalized=True)
+    cols = jnp.arange(w, dtype=jnp.float32)
+    src_x = cols + off                       # right eye samples at x + offset
+    oob = (src_x < 0) | (src_x > w - 1)
+    src_c = jnp.clip(src_x, 0.0, w - 1.0)
+    i0 = jnp.floor(src_c).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, w - 1)
+    fr = (src_c - i0)[..., None]
+    warped = (jnp.take_along_axis(image_nhwc, i0[..., None], axis=2)
+              * (1 - fr)
+              + jnp.take_along_axis(image_nhwc, i1[..., None], axis=2) * fr)
+
+    nd_w = (jnp.take_along_axis(nd, i0, axis=2) * (1 - fr[..., 0])
+            + jnp.take_along_axis(nd, i1, axis=2) * fr[..., 0])
+    disocc = (nd_w - nd) > 0.05
+    # 3x3 max-pool dilation
+    dm = jax.lax.reduce_window(
+        disocc.astype(jnp.float32), 0.0, jax.lax.max,
+        (1, 3, 3), (1, 1, 1), "SAME") > 0.5
+    return warped, dm | oob
+
+
+def border_prefill(image_nhwc: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Horizontal border-interpolation prefill of masked pixels
+    (reference column loop :496-542), vectorized with carry scans."""
+    from ..ops import scan as scan_ops
+
+    b, h, w, c = image_nhwc.shape
+    valid = ~mask
+    chans = jnp.moveaxis(image_nhwc, -1, 0)                 # [C,B,H,W]
+    valid_c = jnp.broadcast_to(valid[None], chans.shape)
+    (lv,), has_l = scan_ops.forward_fill((chans,), valid_c)
+    (rv,), has_r = scan_ops.backward_fill((chans,), valid_c)
+    has_l = has_l[0]
+    has_r = has_r[0]
+    cols = jnp.arange(w, dtype=jnp.float32)
+    ln = scan_ops.nearest_true_left(valid)
+    rn = scan_ops.nearest_true_right(valid)
+    ld = cols - ln.astype(jnp.float32)
+    rd = rn.astype(jnp.float32) - cols
+    t = ld / jnp.maximum(ld + rd, 1.0)
+    t = jnp.where(~has_l, 1.0, t)
+    t = jnp.where(~has_r, 0.0, t)
+    fill = lv * (1 - t) + rv * t
+    out = jnp.where(mask[None], fill, chans)
+    return jnp.moveaxis(out, 0, -1)
+
+
+def diffusion_inpaint(model: DiffusionModel, image_nchw: jnp.ndarray,
+                      mask_nchw: jnp.ndarray, prompt: str = "",
+                      num_inference_steps: int = 20, strength: float = 0.75,
+                      guidance_scale: float = 7.5, seed: int = 0
+                      ) -> jnp.ndarray:
+    """Masked-latent-blending inpainting loop (any latent diffusion model).
+
+    mask_nchw: [B,1,H,W], 1 = region to regenerate.
+    """
+    sched = schedulers.make_ddim(num_inference_steps)
+    cond = model.text_encode(prompt)
+    uncond = model.text_encode("")
+    ctx = jnp.concatenate([uncond, cond], axis=0)
+
+    lat0 = image_to_latent(model, image_nchw)
+    lh, lw = lat0.shape[-2:]
+    mask_lat = jax.image.resize(mask_nchw, (*mask_nchw.shape[:2], lh, lw),
+                                "bilinear") > 0.1
+
+    timesteps = schedulers.pndm_skip_timesteps(sched, strength)
+    rng = jax.random.PRNGKey(seed)
+    rng, sub = jax.random.split(rng)
+    noise = jax.random.normal(sub, lat0.shape)
+    latents = schedulers.add_noise(sched, lat0, noise, jnp.int32(timesteps[0]))
+
+    for t_host in timesteps:
+        t = jnp.int32(t_host)
+        lat_in = jnp.concatenate([latents] * 2, axis=0)
+        ctx_b = jnp.repeat(ctx, latents.shape[0], axis=0)
+        eps = model.unet_apply(model.unet_params, lat_in, t, ctx_b)
+        eps_u, eps_c = jnp.split(eps, 2, axis=0)
+        eps = eps_u + guidance_scale * (eps_c - eps_u)
+        latents = schedulers.ddim_step(sched, eps, t, latents)
+        # Re-impose known content outside the mask at the matching noise level.
+        prev_t = t - sched.step_ratio()
+        rng, sub = jax.random.split(rng)
+        known = schedulers.add_noise(sched, lat0,
+                                     jax.random.normal(sub, lat0.shape),
+                                     jnp.maximum(prev_t, 0))
+        known = jnp.where(prev_t >= 0, known, lat0)
+        latents = jnp.where(mask_lat, latents, known)
+
+    return latent_to_image(model, latents)
+
+
+def warp_inpaint(model: DiffusionModel, image_nhwc: jnp.ndarray,
+                 depth: jnp.ndarray, prompt: str = "",
+                 divergence: float = 5.0, num_inference_steps: int = 20,
+                 strength: float = 0.75, guidance_scale: float = 7.5,
+                 seed: int = 0) -> StereoResult:
+    """Fast path for one frame: warp right eye, inpaint disocclusions,
+    pixel-space recomposite inside the mask only (reference :563-567)."""
+    warped, mask = backward_warp_right(image_nhwc, depth, divergence)
+    prefilled = border_prefill(warped, mask)
+
+    img_nchw = jnp.transpose(prefilled, (0, 3, 1, 2)) * 2.0 - 1.0
+    inpainted = diffusion_inpaint(
+        model, img_nchw, mask[:, None].astype(jnp.float32), prompt,
+        num_inference_steps, strength, guidance_scale, seed)
+    inpainted01 = _nan_guard(_to_01(inpainted))
+    right = jnp.where(mask[..., None], inpainted01, prefilled)
+    return StereoResult(left=image_nhwc, right=right)

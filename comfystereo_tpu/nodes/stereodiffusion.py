@@ -1,0 +1,120 @@
+"""StereoDiffusion node — AI stereo generation via the JAX diffusion stack.
+
+Contract parity with the reference StereoDiffusionNode
+(stereodiffusion_nodes.py:78-167): image, depth_map, scale_factor,
+direction (uni/bi), deblur, pipeline_mode (Standard (DDIM) / Fast
+(Warp + Inpaint)), guidance_scale, num_inference_steps, seed, optional
+null_text_optimization/denoise_strength/prompt. Outputs: stereo_pair,
+left_image, right_image.
+
+The model comes from `comfystereo_tpu.diffusion.models` (flax LatentUNet +
+VAE + text encoder); a toy model is used when none is supplied so the node is
+runnable offline. Per reference, the Standard path processes the first frame
+only (:226-228) while the Fast path runs per-frame with seed+frame_idx
+(:379-381).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .. import diffusion
+
+PIPELINE_MODES = ("Standard (DDIM)", "Fast (Warp + Inpaint)")
+_DEFAULT_MODEL = None
+
+
+def _to_numpy(x):
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _default_model():
+    global _DEFAULT_MODEL
+    if _DEFAULT_MODEL is None:
+        _DEFAULT_MODEL = diffusion.make_toy_model(image_size=64)
+    return _DEFAULT_MODEL
+
+
+class StereoDiffusionNode:
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {
+            "required": {
+                "image": ("IMAGE",),
+                "depth_map": ("IMAGE",),
+                "scale_factor": ("FLOAT", {"default": 5.0, "min": 1.0,
+                                           "max": 20.0, "step": 0.5}),
+                "direction": (["uni", "bi"],),
+                "deblur": ("BOOLEAN", {"default": True}),
+                "pipeline_mode": (list(PIPELINE_MODES),
+                                  {"default": "Fast (Warp + Inpaint)"}),
+                "guidance_scale": ("FLOAT", {"default": 7.5, "min": 0.0,
+                                             "max": 20.0, "step": 0.5}),
+                "num_inference_steps": ("INT", {"default": 50, "min": 1,
+                                                "max": 200}),
+                "seed": ("INT", {"default": 0, "min": 0, "max": 2 ** 31 - 1}),
+            },
+            "optional": {
+                "null_text_optimization": ("BOOLEAN", {"default": False}),
+                "denoise_strength": ("FLOAT", {"default": 0.75, "min": 0.1,
+                                               "max": 1.0, "step": 0.05}),
+                "prompt": ("STRING", {"default": ""}),
+            },
+        }
+
+    RETURN_TYPES = ("IMAGE", "IMAGE", "IMAGE")
+    RETURN_NAMES = ("stereo_pair", "left_image", "right_image")
+    FUNCTION = "generate_stereo"
+    CATEGORY = "stereo"
+
+    def generate_stereo(self, image, depth_map, scale_factor=5.0,
+                        direction="uni", deblur=True,
+                        pipeline_mode="Fast (Warp + Inpaint)",
+                        guidance_scale=7.5, num_inference_steps=50, seed=0,
+                        null_text_optimization=False, denoise_strength=0.75,
+                        prompt="", model=None):
+        import jax.numpy as jnp
+
+        img = _to_numpy(image).astype(np.float32)
+        dm = _to_numpy(depth_map).astype(np.float32)
+        if img.ndim == 3:
+            img = img[None]
+        if dm.ndim == 4:
+            dm = (0.2989 * dm[..., 0] + 0.5870 * dm[..., 1]
+                  + 0.1140 * dm[..., 2]) if dm.shape[-1] == 3 else dm[..., 0]
+        if dm.ndim == 2:
+            dm = dm[None]
+        dmodel = model or _default_model()
+
+        lefts, rights = [], []
+        if pipeline_mode == "Standard (DDIM)":
+            # First frame only (reference :226-228).
+            x = jnp.asarray(img[:1].transpose(0, 3, 1, 2)) * 2.0 - 1.0
+            out = diffusion.text2stereo(
+                dmodel, x, jnp.asarray(dm[:1]), prompt,
+                scale_factor=scale_factor, direction=direction,
+                deblur=deblur, guidance_scale=guidance_scale,
+                num_inference_steps=num_inference_steps,
+                null_text_optimization=null_text_optimization, seed=seed)
+            lefts.append(np.asarray(out.left))
+            rights.append(np.asarray(out.right))
+        else:
+            for i in range(img.shape[0]):
+                out = diffusion.warp_inpaint(
+                    dmodel, jnp.asarray(img[i:i + 1]), jnp.asarray(dm[i:i + 1]),
+                    prompt, divergence=scale_factor,
+                    num_inference_steps=num_inference_steps,
+                    strength=denoise_strength,
+                    guidance_scale=guidance_scale, seed=seed + i)
+                lefts.append(np.asarray(out.left))
+                rights.append(np.asarray(out.right))
+
+        left = np.concatenate(lefts, axis=0)
+        right = np.concatenate(rights, axis=0)
+        pair = np.concatenate([left, right], axis=2)
+        return pair, left, right
+
+
+NODE_CLASS_MAPPINGS = {"StereoDiffusionNode": StereoDiffusionNode}
+NODE_DISPLAY_NAME_MAPPINGS = {"StereoDiffusionNode": "Stereo Diffusion"}
