@@ -117,6 +117,68 @@ def _edge_weights_pair(left_mask, right_mask, mask_radius: int,
             edge_distance_weight(right_mask, mask_radius, falloff_exponent))
 
 
+def gaussian_blur(depth: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur, radius = 3*sigma, edge-replicate padding
+    (reference blur_depth_map, :1253-1281). [..., H, W]."""
+    if sigma <= 0:
+        return depth
+    radius = int(3 * sigma)
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    kernel = jnp.exp(-(x ** 2) / (2.0 * sigma * sigma))
+    kernel = kernel / jnp.sum(kernel)
+
+    def conv_axis(v, axis):
+        # vectorized correlation via stacked slices (radius is small; the
+        # symmetric kernel makes convolve == correlate)
+        pad = [(0, 0)] * v.ndim
+        pad[axis] = (radius, radius)
+        vp = jnp.pad(v, pad, mode="edge")
+        moved = jnp.moveaxis(vp, axis, -1)
+        n = moved.shape[-1] - 2 * radius
+        acc = jnp.zeros(moved.shape[:-1] + (n,), jnp.float32)
+        for i in range(2 * radius + 1):
+            acc = acc + kernel[i] * moved[..., i:i + n]
+        return jnp.moveaxis(acc, -1, axis)
+
+    return conv_axis(conv_axis(depth.astype(jnp.float32), -1), -2)
+
+
+def edge_selective_blur(depth: jnp.ndarray, sigma: float,
+                        edge_threshold: float) -> jnp.ndarray:
+    """Direction-agnostic edge-selective blur: full Sobel magnitude weight
+    blended between original and Gaussian-blurred depth (reference
+    edge_selective_blur_depth_map, :1283-1309)."""
+    gx = sobel_x(depth)
+    gy = jnp.swapaxes(sobel_x(jnp.swapaxes(depth, -1, -2)), -1, -2)
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    weight = jnp.minimum(mag / edge_threshold, 1.0)
+    blurred = gaussian_blur(depth, sigma)
+    return (1.0 - weight) * depth + weight * blurred
+
+
+def _central_diff_w(depth: jnp.ndarray) -> jnp.ndarray:
+    pad = [(0, 0)] * (depth.ndim - 1) + [(1, 1)]
+    dp = jnp.pad(depth, pad, mode="edge")
+    return (dp[..., 2:] - dp[..., :-2]) / 2.0
+
+
+def direction_aware_blur(depth: jnp.ndarray, sigma: float,
+                         edge_threshold: float, eye: str) -> jnp.ndarray:
+    """One-sided gradient-weighted blur (reference
+    left/right_direction_aware_blur_depth_map, :1311-1344): the left eye
+    blurs rising (dark->light) gradients, the right eye falling ones."""
+    grad = _central_diff_w(depth.astype(jnp.float32))
+    if eye == "left":
+        weight = jnp.where(grad > 0, jnp.minimum(grad / edge_threshold, 1.0),
+                           0.0)
+    else:
+        weight = jnp.where(grad < 0,
+                           jnp.minimum(jnp.abs(grad) / edge_threshold, 1.0),
+                           0.0)
+    blurred = gaussian_blur(depth, sigma)
+    return (1.0 - weight) * depth + weight * blurred
+
+
 @functools.partial(jax.jit, static_argnames=(
     "blur_strength", "blur_mask_width", "vert_smooth_px"))
 def _directional_blur_impl(depth, blur_strength: int, edge_threshold,
