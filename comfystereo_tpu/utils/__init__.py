@@ -1,1 +1,1 @@
-from . import fixtures  # noqa: F401
+from . import caching, fixtures, profiling  # noqa: F401

@@ -1,0 +1,100 @@
+"""Streaming video -> stereo conversion utility.
+
+The reference's Video2Stereo workflow streams frame chunks through the node
+(GenerateStereo.py:121-179, examples/Video2Stereo.json). This utility is the
+standalone equivalent: read frames with cv2 (present in this image), stream
+chunks of `batch_size` through the jitted pipeline with double-buffered
+host->device transfer (the next chunk uploads while the current one computes),
+and write the packed result back with cv2. Gated on cv2 availability.
+"""
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from ..config import StereoConfig
+from ..pipeline import stereo_pipeline
+
+try:
+    import cv2
+    CV2_AVAILABLE = True
+except Exception:  # pragma: no cover
+    cv2 = None
+    CV2_AVAILABLE = False
+
+
+def iter_frame_chunks(video_path: str, chunk: int
+                      ) -> Iterator[Tuple[np.ndarray, float]]:
+    """Yield ([n,H,W,3] float32 RGB 0-1 chunks, fps)."""
+    if not CV2_AVAILABLE:
+        raise RuntimeError("cv2 unavailable; video streaming disabled")
+    cap = cv2.VideoCapture(video_path)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    frames = []
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            if len(frames) == chunk:
+                yield (np.stack(frames).astype(np.float32) / 255.0, fps)
+                frames = []
+        if frames:
+            yield (np.stack(frames).astype(np.float32) / 255.0, fps)
+    finally:
+        cap.release()
+
+
+def convert_video(video_path: str, depth_video_path: str, out_path: str,
+                  cfg: Optional[StereoConfig] = None,
+                  progress: bool = True) -> int:
+    """Depth video + source video -> packed stereo video. Returns frame count.
+
+    Chunks stay device-resident through blur->warp->fill->pack; the next
+    chunk's host->device upload overlaps the current chunk's compute thanks
+    to JAX's async dispatch.
+    """
+    import jax.numpy as jnp
+
+    cfg = cfg or StereoConfig()
+    writer = None
+    total = 0
+    img_iter = iter_frame_chunks(video_path, cfg.batch_size)
+    dm_iter = iter_frame_chunks(depth_video_path, cfg.batch_size)
+    pending = None  # (device_out, n_frames) pipeline: one chunk in flight
+
+    def flush(entry):
+        nonlocal writer, total
+        out_dev, n = entry
+        arr = np.asarray(out_dev)
+        for f in arr[:n]:
+            bgr = cv2.cvtColor((f * 255).astype(np.uint8), cv2.COLOR_RGB2BGR)
+            if writer is None:
+                h, w = bgr.shape[:2]
+                writer = cv2.VideoWriter(
+                    out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+            writer.write(bgr)
+        total += n
+
+    fps = 30.0
+    for (imgs, fps), (dms, _) in zip(img_iter, dm_iter):
+        n = min(len(imgs), len(dms))
+        gray = (0.2989 * dms[..., 0] + 0.5870 * dms[..., 1]
+                + 0.1140 * dms[..., 2])
+        out = stereo_pipeline(jnp.asarray(imgs[:n]), jnp.asarray(gray[:n]),
+                              cfg)
+        entry = (out["stereo"][0], n)
+        if pending is not None:
+            flush(pending)          # overlaps with the chunk just dispatched
+        pending = entry
+        if progress:
+            print(f"\rconverted {total} frames", end="", flush=True)
+    if pending is not None:
+        flush(pending)
+    if writer is not None:
+        writer.release()
+    if progress:
+        print(f"\rconverted {total} frames")
+    return total
