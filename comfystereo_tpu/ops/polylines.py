@@ -1,168 +1,291 @@
-"""Polylines scanline renderer, reformulated for TPU as a supersampled
-segment z-buffer.
+"""Polylines scanline renderer, reformulated for TPU as a two-group
+first-crossing sweep with bounded gathers (no scatter anywhere).
 
 Reference spec: `apply_stereo_divergence_polylines`
 (stereoimage_generation.py:1912-1992). Per row the reference builds warped
-points (two per pixel with ±0.45 half-width for 'sharp', one for 'soft', plus
-off-screen sentinel points), connects consecutive points into segments, then
-for every output pixel integrates coverage-weighted color over sub-intervals,
+points (two per pixel at +-0.45 half-width for 'sharp', one for 'soft', plus
+off-screen sentinels), connects consecutive points into segments, and for
+every output pixel integrates coverage-weighted color over sub-intervals,
 picking the segment with maximum interpolated *closeness* (= |depth offset|)
-at each sub-interval center — an insertion sort plus dynamic active-set sweep
-that is hostile to vector hardware.
+at each sub-interval center — an insertion sort plus dynamic active-set sweep.
 
-TPU-native reformulation: the sweep is a 1-D visibility problem, so we:
-  1. supersample each output pixel at S positions (midpoint rule ≈ the
-     reference's exact sub-interval integration);
-  2. z-buffer segments onto samples with ONE deterministic scatter-max of
-     packed (quantized closeness, segment id) int32 keys — each segment emits
-     a bounded number of sample candidates (the same trick as the reference
-     GPU path's fixed `max_stretch` loop, :365-391);
-  3. samples not reached by any bounded-span candidate (long disocclusion
-     stretches) are filled by border interpolation, which for a lone covering
-     segment equals that segment's own linear color ramp;
-  4. box-average S samples per pixel (+0.5, truncating to uint8 values, as the
-     reference accumulates into a 0.5-initialized register :1952, :1991).
+TPU-native reformulation
+------------------------
+1.  Closeness is |offset|, so split segments into a POSITIVE-offset group and
+    a NEGATIVE-offset group (straddlers join both). Within a group the offset
+    ordering is total, so when two segments cover the same position the one
+    from the smaller source column (positive group) / larger source column
+    (negative group) has strictly larger closeness — the group winner is the
+    FIRST segment whose reach crosses the query, exactly the prefix-max +
+    windowed-binary-search machinery of ops/warp.py. The negative group is
+    the positive group of the mirrored image, so one oriented core runs twice.
+2.  Per output pixel, all sub-sample winners lie within a few segments of the
+    pixel's first crossing, so each pixel gathers a K-candidate window of
+    point/color data once (bounded vreg gathers) and sweeps S midpoint
+    sub-samples against it elementwise — the supersampled approximation of
+    the reference's exact sub-interval integration (midpoint rule; linear
+    color ramps integrate exactly).
+3.  The two group winners are combined by closeness, sub-samples are box-
+    averaged (+0.5 accumulator bias, truncation) like the reference (:1952,
+    :1991).
 
-Accuracy: converges to the reference integral as S grows; default S=8 gives
-sub-LSB differences away from segment-crossing boundaries (validated against
-the numpy oracle in tests/oracle).
-
-Note the reference's closeness is |offset| (not signed depth), so content far
-behind the convergence plane can occlude slightly-near content — a reference
-quirk preserved here, and the reason this kernel uses a scatter z-buffer
-rather than the monotone scan trick in ops/warp.py.
+Known approximations (SSIM-level, validated against the loop-exact oracle):
+midpoint supersampling at S samples/pixel; heavy folds beyond the K-candidate
+window fall back to the nearest candidate; closeness ties break by group
+rather than activation order.
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+import math
 
 import jax
 import jax.numpy as jnp
 
 from . import depth as depth_ops
-from . import fills
 from . import scan
+from ..pallas import bounded_take_along_w
 
-_ID_BITS = 14
-_ID_MAX = (1 << _ID_BITS) - 1
+_NEG_INF = -1e30
 
 
-def _build_points(norm_depth, divergence_px, separation_px, exponent, sharp):
-    """Warped point lists per row: positions, closeness, source column.
+def _first_above(prefix: jnp.ndarray, n_queries: int, max_disp: int):
+    """min{j : prefix[j] > col} for integer queries col=0..n_queries-1,
+    searched in a +-max_disp window. prefix: [..., M] non-decreasing."""
+    *lead, m = prefix.shape
+    cols = jnp.arange(n_queries, dtype=jnp.int32)
+    lo = jnp.broadcast_to(jnp.maximum(cols - max_disp, 0),
+                          tuple(lead) + (n_queries,))
+    hi = jnp.broadcast_to(jnp.minimum(cols + max_disp, m), lo.shape)
+    queries = jnp.broadcast_to(cols.astype(jnp.float32), lo.shape)
+    rounds = max(1, math.ceil(math.log2(2 * max_disp + 2))) + 1
 
-    Returns (px, cl, col) each [B, H, P] with sentinel points first/last
-    (reference :1921-1936).
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        v = bounded_take_along_w(prefix, jnp.clip(mid, 0, m - 1), max_disp + 2)
+        go = v <= queries
+        return jnp.where(go, mid + 1, lo), jnp.where(go, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, rounds, body, (lo, hi))
+    return jnp.clip(lo, 0, m - 1)
+
+
+def _oriented_group(image, coord, sep_px: float, sharp: bool, samples: int,
+                    k_candidates: int, max_disp: int):
+    """One orientation (positive-offset group, scanned left to right).
+
+    image: [B,H,W,C] (uint8-valued f32); coord: [B,H,W] signed offsets.
+    Returns per-sample (covered, closeness, color): [B,H,W,S(,C)].
     """
-    b, h, w = norm_depth.shape
+    b, h, w = coord.shape
+    c = image.shape[-1]
+    s_rate = samples
+    hw = 0.45 if sharp else 0.0
     cols = jnp.arange(w, dtype=jnp.float32)
-    coord_d = depth_ops.signed_power(norm_depth, exponent) * divergence_px
-    x = cols + 0.5 + coord_d + separation_px
-    cl = jnp.abs(coord_d)
-    colf = jnp.broadcast_to(cols, norm_depth.shape)
+    x = cols + 0.5 + coord + sep_px                  # point positions
+    cl = jnp.abs(coord)
+    member_pt = coord >= 0.0                         # positive group points
+
+    # --- slot reach (slot j: between[j] then within[j]) -------------------
+    # between[j] connects point j-1 to point j (slot 0 / W are sentinels).
+    x_prev = jnp.concatenate([jnp.full((b, h, 1), -1.0 * w), x], axis=-1)
+    x_next = jnp.concatenate([x, jnp.full((b, h, 1), 2.0 * w)], axis=-1)
+    m_prev = jnp.concatenate([jnp.ones((b, h, 1), bool), member_pt], axis=-1)
+    m_next = jnp.concatenate([member_pt, jnp.ones((b, h, 1), bool)], axis=-1)
+    bx0 = x_prev + (hw if sharp else 0.0)
+    bx0 = bx0.at[..., 0].set(-1.0 * w)               # left sentinel start
+    bx1 = x_next - (hw if sharp else 0.0)
+    bx1 = bx1.at[..., -1].set(2.0 * w)               # right sentinel end
+    b_member = m_prev | m_next
+    b_fwd = bx1 > bx0
+    e_b = jnp.where(b_member & b_fwd, bx1, _NEG_INF)
 
     if sharp:
-        half = 0.45
-        core_x = jnp.stack([x - half, x + half], axis=-1).reshape(b, h, 2 * w)
-        core_cl = jnp.repeat(cl, 2, axis=-1)
-        core_col = jnp.repeat(colf, 2, axis=-1)
+        wx1 = x + hw                                 # within[j] = pixel j
+        w_member = member_pt
+        e_w = jnp.where(w_member, wx1, _NEG_INF)
+        e_w = jnp.concatenate([e_w, jnp.full((b, h, 1), _NEG_INF)], axis=-1)
+        reach = jnp.maximum(e_b, e_w)
     else:
-        core_x, core_cl, core_col = x, cl, colf
+        reach = e_b
 
-    pre = jnp.full((b, h, 1), -1.0 * w, dtype=jnp.float32)
-    post = jnp.full((b, h, 1), 2.0 * w, dtype=jnp.float32)
-    zeros = jnp.zeros((b, h, 1), dtype=jnp.float32)
-    px = jnp.concatenate([pre, core_x, post], axis=-1)
-    clp = jnp.concatenate([zeros, core_cl, zeros], axis=-1)
-    colp = jnp.concatenate([zeros, core_col,
-                            jnp.full((b, h, 1), float(w - 1))], axis=-1)
-    return px, clp, colp
+    prefix = scan.running_max(reach)                 # [B,H,W+1]
+    idx0 = _first_above(prefix, w, max_disp)         # [B,H,W] first slot
+
+    # --- gather the candidate window's point + color data ------------------
+    # Slots idx0..idx0+K-1 need points idx0-1..idx0+K-1 and their colors.
+    gd = max_disp + k_candidates + 2
+    pts_x, pts_cl, pts_col = [], [], []
+    img_cw = jnp.moveaxis(image, -1, -3)             # [B,C,H,W]
+    for dk in range(-1, k_candidates):
+        p = jnp.clip(idx0 + dk, 0, w - 1)
+        pts_x.append(bounded_take_along_w(x, p, gd))
+        pts_cl.append(bounded_take_along_w(cl, p, gd))
+        pe = jnp.broadcast_to(p[:, None], (b, c, h, w))
+        pts_col.append(jnp.moveaxis(
+            bounded_take_along_w(img_cw, pe, gd), -3, -1))
+        # membership of the candidate points
+    pts_m = [bounded_take_along_w(member_pt.astype(jnp.float32),
+                                  jnp.clip(idx0 + dk, 0, w - 1), gd) > 0.5
+             for dk in range(-1, k_candidates)]
+
+    # --- per-sample sweep ---------------------------------------------------
+    # Layout note: the sample axis folds into W ([B,H,W*S] with W*S minor)
+    # and colors stay channel-major ([C,B,H,W*S]); a trailing S=8 or C=3 axis
+    # would be lane-padded to 128 on TPU, wasting ~16-40x memory bandwidth.
+    ws = w * s_rate
+
+    def rep(v):                                       # [B,H,W] -> [B,H,W*S]
+        return jnp.repeat(v, s_rate, axis=-1)
+
+    def rep_col(v):                                   # [B,H,W,C] -> [C,B,H,WS]
+        return jnp.repeat(jnp.moveaxis(v, -1, 0), s_rate, axis=-1)
+
+    tt = (jnp.arange(s_rate, dtype=jnp.float32) + 0.5) / s_rate
+    s_pos = (cols[:, None] + tt[None, :]).reshape(ws)
+    s_pos = jnp.broadcast_to(s_pos, (b, h, ws))
+
+    found = jnp.zeros((b, h, ws), bool)
+    sel_x0 = jnp.zeros((b, h, ws))
+    sel_x1 = jnp.ones((b, h, ws))
+    sel_cl0 = jnp.zeros((b, h, ws))
+    sel_cl1 = jnp.zeros((b, h, ws))
+    sel_cL = jnp.zeros((c, b, h, ws))
+    sel_cR = jnp.zeros((c, b, h, ws))
+
+    def consider(found, sels, x0, x1, cl0, cl1, colL, colR, member):
+        # args at sample scale: [B,H,WS] / colors [C,B,H,WS]
+        sel_x0, sel_x1, sel_cl0, sel_cl1, sel_cL, sel_cR = sels
+        cross = member & (x1 > x0) & (x1 > s_pos)
+        take = (~found) & cross
+        sels = (
+            jnp.where(take, x0, sel_x0),
+            jnp.where(take, x1, sel_x1),
+            jnp.where(take, cl0, sel_cl0),
+            jnp.where(take, cl1, sel_cl1),
+            jnp.where(take[None], colL, sel_cL),
+            jnp.where(take[None], colR, sel_cR),
+        )
+        return found | cross, sels
+
+    sels = (sel_x0, sel_x1, sel_cl0, sel_cl1, sel_cL, sel_cR)
+    slot0 = idx0
+    for k in range(k_candidates):
+        slot = slot0 + k
+        # between[slot]: point (slot-1) -> point slot, sentinel-aware.
+        is_sent_l = slot == 0
+        is_sent_r = slot == w
+        x0_b = rep(jnp.where(is_sent_l, -1.0 * w, pts_x[k] + hw))
+        x1_b = rep(jnp.where(is_sent_r, 2.0 * w, pts_x[k + 1] - hw))
+        cl0_b = rep(jnp.where(is_sent_l, 0.0, pts_cl[k]))
+        cl1_b = rep(jnp.where(is_sent_r, 0.0, pts_cl[k + 1]))
+        colL_b = rep_col(jnp.where(is_sent_l[..., None], pts_col[k + 1],
+                                   pts_col[k]))
+        colR_b = rep_col(jnp.where(is_sent_r[..., None], pts_col[k],
+                                   pts_col[k + 1]))
+        mem_b = rep(jnp.where(is_sent_l, True, pts_m[k])
+                    | jnp.where(is_sent_r, True, pts_m[k + 1]))
+        found, sels = consider(found, sels, x0_b, x1_b, cl0_b, cl1_b,
+                               colL_b, colR_b, mem_b)
+        if sharp:
+            # within[slot]: flat-top segment of pixel `slot` (invalid at W).
+            valid_w = slot < w
+            found, sels = consider(
+                found, sels, rep(pts_x[k + 1] - hw), rep(pts_x[k + 1] + hw),
+                rep(pts_cl[k + 1]), rep(pts_cl[k + 1]),
+                rep_col(pts_col[k + 1]), rep_col(pts_col[k + 1]),
+                rep(pts_m[k + 1] & valid_w))
+
+    sel_x0, sel_x1, sel_cl0, sel_cl1, sel_cL, sel_cR = sels
+    denom = jnp.where(jnp.abs(sel_x1 - sel_x0) < 1e-9, 1.0, sel_x1 - sel_x0)
+    ip = jnp.clip((s_pos - sel_x0) / denom, 0.0, 1.0)
+    covered = found & (sel_x0 < s_pos)
+    closeness = sel_cl0 * (1.0 - ip) + sel_cl1 * ip
+    color = sel_cL * (1.0 - ip[None]) + sel_cR * ip[None]
+    # Fallback for K-window misses: nearest candidate's left color.
+    color = jnp.where(found[None], color, sel_cL)
+    return covered, closeness, color        # [B,H,WS], [B,H,WS], [C,B,H,WS]
 
 
-@functools.partial(jax.jit, static_argnames=("sharp", "samples", "span"))
-def _polylines_impl(image, norm_depth, divergence_px, separation_px,
-                    exponent, sharp: bool, samples: int, span: int):
-    b, h, w = norm_depth.shape
+def _polylines_fused(image, coord, sep_px, sharp: bool, samples: int,
+                     k_candidates: int, max_disp: int, interpret: bool):
+    """Fused-kernel path (pallas/polylines_kernel.py): both groups, the
+    closeness combine, and the S-plane average run inside one kernel."""
+    from ..pallas.polylines_kernel import polylines_scanline
+
+    b, h, w = coord.shape
     c = image.shape[-1]
-    s = samples
-    nsamp = w * s
+    n = b * h
+    cols = jnp.arange(w, dtype=jnp.float32)
+    x = (cols + 0.5 + coord + sep_px).reshape(n, w)
+    planes = jnp.moveaxis(image, -1, 0).reshape(c, n, w)
+    pl3 = [planes[i] for i in range(min(c, 3))]
+    while len(pl3) < 3:
+        pl3.append(pl3[-1])
+    sums = polylines_scanline(
+        x, coord.reshape(n, w), pl3[0], pl3[1], pl3[2], w=w, sharp=sharp,
+        samples=samples, k_candidates=k_candidates, max_disp=max_disp,
+        interpret=interpret)
+    mean = [s.reshape(b, h, w) / samples for s in sums[:max(c, 1)]]
+    out = jnp.stack(mean[:c] if c <= 3 else mean, axis=-1)
+    return jnp.trunc(jnp.clip(out + 0.5, 0.0, 255.0))
 
-    px, clp, colp = _build_points(norm_depth, divergence_px, separation_px,
-                                  exponent, sharp)
-    # Segments between consecutive points.
-    x0, x1 = px[..., :-1], px[..., 1:]
-    cl0, cl1 = clp[..., :-1], clp[..., 1:]
-    col_l, col_r = colp[..., :-1], colp[..., 1:]
-    nseg = x0.shape[-1]
-    forward = x1 > x0  # reversed segments are never selectable (see module doc)
 
-    # Candidate samples per segment: first sample strictly right of x0, then
-    # `span` consecutive samples (sample m sits at (m + 0.5) / S).
-    m0 = jnp.floor(x0 * s - 0.5).astype(jnp.int32) + 1
-    ks = jnp.arange(span, dtype=jnp.int32)
-    m = m0[..., None] + ks                                   # [B,H,NSEG,span]
-    spos = (m.astype(jnp.float32) + 0.5) / s
-    inside = (spos > x0[..., None]) & (spos < x1[..., None])
-    valid = forward[..., None] & inside & (m >= 0) & (m < nsamp)
+@functools.partial(jax.jit, static_argnames=(
+    "sharp", "samples", "k_candidates", "max_disp", "impl"))
+def _polylines_dispatch(image, coord, sep_px, sharp: bool, samples: int,
+                        k_candidates: int, max_disp: int, impl: str = "auto"):
+    use_fused = (impl == "pallas"
+                 or (impl == "auto" and jax.default_backend() == "tpu"))
+    if use_fused:
+        return _polylines_fused(image, coord, sep_px, sharp, samples,
+                                k_candidates, max_disp,
+                                interpret=jax.default_backend() != "tpu")
+    return _polylines_impl(image, coord, sep_px, sharp, samples,
+                           k_candidates, max_disp)
 
-    denom = jnp.where(jnp.abs(x1 - x0) < 1e-12, 1.0, x1 - x0)
-    ip = (spos - x0[..., None]) / denom[..., None]
-    clm = cl0[..., None] * (1.0 - ip) + cl1[..., None] * ip
 
-    cl_scale = jnp.maximum(jnp.max(clp), 1e-6)
-    q = jnp.clip(jnp.round(clm / cl_scale * 65535.0), 0, 65535).astype(jnp.int32)
-    seg_id = jax.lax.broadcasted_iota(jnp.int32, (b, h, nseg, span), 2)
-    packed = (q << _ID_BITS) | (_ID_MAX - seg_id)
+def _polylines_impl(image, coord, sep_px, sharp: bool, samples: int,
+                    k_candidates: int, max_disp: int):
+    b, h, w = coord.shape
+    c = image.shape[-1]
+    cov_p, cl_p, col_p = _oriented_group(
+        image, coord, sep_px, sharp, samples, k_candidates, max_disp)
+    # Negative group = positive group of the mirrored image (the mirrored
+    # sample grid maps midpoints onto midpoints, so one flip along the flat
+    # sample axis realigns everything).
+    img_f = jnp.flip(image, axis=-2)
+    coord_f = -jnp.flip(coord, axis=-1)
+    cov_n, cl_n, col_n = _oriented_group(
+        img_f, coord_f, -sep_px, sharp, samples, k_candidates,
+        max_disp)
+    cov_n = jnp.flip(cov_n, axis=-1)
+    cl_n = jnp.flip(cl_n, axis=-1)
+    col_n = jnp.flip(col_n, axis=-1)
 
-    win = fills.scatter_max_w(
-        m.reshape(b, h, nseg * span), packed.reshape(b, h, nseg * span),
-        valid.reshape(b, h, nseg * span), nsamp, jnp.int32(-1))
-    covered = win >= 0
-    wj = jnp.clip(_ID_MAX - (win & _ID_MAX), 0, nseg - 1)     # winning segment
-
-    # Per-sample color from the winning segment.
-    samp_pos = (jnp.arange(nsamp, dtype=jnp.float32) + 0.5) / s
-    gx0 = scan.gather_rows(x0, wj)
-    gx1 = scan.gather_rows(x1, wj)
-    gd = jnp.where(jnp.abs(gx1 - gx0) < 1e-12, 1.0, gx1 - gx0)
-    gip = jnp.clip((samp_pos - gx0) / gd, 0.0, 1.0)
-    gcl = jnp.clip(scan.gather_rows(col_l, wj).astype(jnp.int32), 0, w - 1)
-    gcr = jnp.clip(scan.gather_rows(col_r, wj).astype(jnp.int32), 0, w - 1)
-    c_l = jnp.take_along_axis(image, gcl[..., None], axis=2)
-    c_r = jnp.take_along_axis(image, gcr[..., None], axis=2)
-    color = c_l * (1.0 - gip[..., None]) + c_r * gip[..., None]
-
-    # Fill uncovered samples (long stretches) by border interpolation — for a
-    # lone covering segment this reproduces its linear ramp exactly.
-    ln = scan.nearest_true_left(covered)
-    rn = scan.nearest_true_right(covered)
-    has_l = ln >= 0
-    has_r = rn < nsamp
-    cl_col = jnp.take_along_axis(color, jnp.clip(ln, 0, nsamp - 1)[..., None], axis=2)
-    cr_col = jnp.take_along_axis(color, jnp.clip(rn, 0, nsamp - 1)[..., None], axis=2)
-    dist_tot = jnp.maximum((rn - ln).astype(jnp.float32), 1.0)
-    t = (jnp.arange(nsamp, dtype=jnp.float32) - ln.astype(jnp.float32)) / dist_tot
-    t = jnp.where(~has_l, 1.0, t)
-    t = jnp.where(~has_r, 0.0, t)
-    fill_col = cl_col * (1.0 - t[..., None]) + cr_col * t[..., None]
-    color = jnp.where(covered[..., None], color, fill_col)
-
-    # Box-average S samples per output pixel, +0.5 accumulator bias, truncate.
-    mean = jnp.mean(color.reshape(b, h, w, s, c), axis=3)
-    return jnp.trunc(jnp.clip(mean + 0.5, 0.0, 255.0))
+    use_n = cov_n & (~cov_p | (cl_n > cl_p))
+    color = jnp.where(use_n[None], col_n, col_p)      # [C,B,H,W*S]
+    mean = jnp.mean(color.reshape(c, b, h, w, samples), axis=-1)
+    return jnp.trunc(jnp.clip(jnp.moveaxis(mean, 0, -1) + 0.5, 0.0, 255.0))
 
 
 def apply_polylines(image: jnp.ndarray, norm_depth: jnp.ndarray,
                     divergence_px: float, separation_px: float,
                     stereo_offset_exponent: float, sharp: bool = True,
-                    samples: int = 8) -> jnp.ndarray:
+                    samples: int = 8, k_candidates: int = 4,
+                    impl: str = "auto") -> jnp.ndarray:
     """Polylines stereo projection for one eye.
 
     image: [B,H,W,C] float32 holding uint8 values; norm_depth: [B,H,W]
     normalized depth minus convergence point (dispatcher convention).
+    impl: 'auto' (fused Pallas kernel on TPU, XLA elsewhere) | 'pallas' | 'xla'
     """
-    span = 2 * samples + 2
-    return _polylines_impl(image, norm_depth, jnp.float32(divergence_px),
-                           jnp.float32(separation_px),
-                           jnp.float32(stereo_offset_exponent),
-                           bool(sharp), int(samples), int(span))
+    coord = depth_ops.signed_power(norm_depth, stereo_offset_exponent) \
+        * divergence_px
+    max_off = abs(divergence_px) + abs(separation_px)
+    max_disp = int(math.ceil(max_off)) + 4
+    return _polylines_dispatch(image.astype(jnp.float32), coord,
+                               jnp.float32(separation_px), bool(sharp),
+                               int(samples), int(k_candidates), max_disp,
+                               impl)
