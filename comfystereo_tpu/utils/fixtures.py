@@ -52,6 +52,15 @@ def gradient_depth(height: int = 512, width: int = 512) -> np.ndarray:
     return np.broadcast_to(x, (height, width)).astype(np.uint8).copy()
 
 
+def main():  # pragma: no cover - CLI convenience
+    """Write test_image.png / test_depth.png (reference create_test_images)."""
+    from PIL import Image
+
+    Image.fromarray(create_test_image()).save("test_image.png")
+    Image.fromarray(create_depth_map()).save("test_depth.png")
+    print("wrote test_image.png, test_depth.png")
+
+
 def batch_fixture(batch: int = 2, height: int = 96, width: int = 128,
                   seed: int = 0):
     """Small random-ish batch for fast unit tests: ([B,H,W,3] f32 0-1 image,
@@ -66,3 +75,6 @@ def batch_fixture(batch: int = 2, height: int = 96, width: int = 128,
         imgs.append(img)
         depths.append(dm)
     return np.stack(imgs), np.stack(depths)
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,9 @@ except Exception:  # pragma: no cover
     CV2_AVAILABLE = False
 
 try:
+    import os as _os
+
+    _os.environ.setdefault("PYGAME_HIDE_SUPPORT_PROMPT", "1")
     import pygame  # noqa: F401
     PYGAME_AVAILABLE = True
 except Exception:  # pragma: no cover
