@@ -57,22 +57,60 @@ def _roll_right(v):
     return jnp.concatenate([pad, v[:, :-1]], axis=1)
 
 
-def _poly_kernel(cols_ref, x_ref, coord_ref, r_ref, g_ref, b_ref,
-                 orr_ref, org_ref, orb_ref, *,
-                 w: int, wp: int, sharp: bool, samples: int,
-                 k_candidates: int, max_disp: int):
-    nvreg = wp // _LANES
+def _poly_kernel(cols_hbm, x_hbm, coord_hbm, r_hbm, g_hbm, b_hbm,
+                 orr_hbm, org_hbm, orb_hbm,
+                 in_s, out_s, sems, *,
+                 w: int, wp: int, cb: int, halo: int, rblock: int,
+                 sharp: bool, samples: int, k_candidates: int,
+                 max_disp: int):
+    # Column blocking: each program solves columns [jb*cb, jb*cb+cb) using a
+    # local window of `local` lanes around them, so the unrolled instruction
+    # count is resolution-independent. Dynamic lane offsets are not
+    # expressible as vector loads on TPU, so the window arrives via DMA
+    # (inputs live in ANY/HBM space; in_s is a [6, rblock, local] VMEM
+    # scratch, out_s a [rblock, local] staging buffer for the output slice).
+    local = cb + 2 * halo
+    nvreg = local // _LANES
     kwin = _cdiv(max_disp + k_candidates + _LANES, _LANES)
     hw = 0.45 if sharp else 0.0
 
-    cols_i = cols_ref[:]
+    ib = pl.program_id(0)
+    jb = pl.program_id(1)
+    row0 = pl.multiple_of(ib * rblock, rblock)
+    # cb and halo are multiples of 128, so the window start is lane-aligned;
+    # the hint lets Mosaic slice the tiled HBM memref at a dynamic offset.
+    win0 = pl.multiple_of(jnp.clip(jb * cb - halo, 0, wp - local), _LANES)
+    off_in_win = pl.multiple_of(jb * cb - win0, _LANES)
+
+    hbm_ins = (cols_hbm, x_hbm, coord_hbm, r_hbm, g_hbm, b_hbm)
+    copies = [
+        pltpu.make_async_copy(
+            ref.at[pl.ds(row0, rblock), pl.ds(win0, local)],
+            in_s.at[k], sems.at[k])
+        for k, ref in enumerate(hbm_ins)
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    cols_i = in_s[0].astype(jnp.int32)
     cols = cols_i.astype(jnp.float32)
-    x = x_ref[:]
-    coord = coord_ref[:]
+    x = in_s[1]
+    coord = in_s[2]
     cl = jnp.abs(coord)
     in_img = cols_i < w
     is_sent_l = cols_i == 0
     is_sent_r = cols_i == w
+    # The window's first lane has no left neighbor in-window; its slot data is
+    # garbage but it lies in the halo (never a winner for in-block queries) —
+    # just keep it out of the reach extrema.
+    bad_edge = (cols_i == win0) & (win0 > 0)
+
+    def lgather(arr_local, global_idx):
+        return _vreg_gather(arr_local,
+                            jnp.clip(global_idx - win0, 0, local - 1),
+                            kwin, nvreg)
 
     # Slot j: between[j] (point j-1 -> point j; sentinels at j=0 and j=w)
     # then within[j] (sharp only: flat-top of pixel j).
@@ -80,6 +118,7 @@ def _poly_kernel(cols_ref, x_ref, coord_ref, r_ref, g_ref, b_ref,
     bx0 = jnp.where(is_sent_l, -1.0 * w, x_prev + hw)
     bx1 = jnp.where(is_sent_r, 2.0 * w,
                     jnp.where(in_img, x - hw, _NEG_INF))
+    bx1 = jnp.where(bad_edge, _NEG_INF, bx1)
 
     rounds = max(1, math.ceil(math.log2(2 * max_disp + 2))) + 1
 
@@ -99,12 +138,12 @@ def _poly_kernel(cols_ref, x_ref, coord_ref, r_ref, g_ref, b_ref,
 
     def search_up(e_hi):
         """First slot with prefix-max(e_hi) > col."""
-        prefix_hi = _prefix_max(e_hi, wp)
+        prefix_hi = _prefix_max(e_hi, local)
         lo = jnp.maximum(cols_i - max_disp, 0)
         hi = jnp.minimum(cols_i + max_disp, w)
         for _ in range(rounds):
             mid = (lo + hi) // 2
-            v = _vreg_gather(prefix_hi, jnp.clip(mid, 0, wp - 1), kwin, nvreg)
+            v = lgather(prefix_hi, mid)
             go = v <= cols
             lo = jnp.where(go, mid + 1, lo)
             hi = jnp.where(go, hi, mid)
@@ -112,12 +151,12 @@ def _poly_kernel(cols_ref, x_ref, coord_ref, r_ref, g_ref, b_ref,
 
     def search_dn(e_lo):
         """Last slot with suffix-min(e_lo) < col+1 = (first >= col+1) - 1."""
-        suffix_lo = _suffix_min(e_lo, wp)
+        suffix_lo = _suffix_min(e_lo, local)
         lo = jnp.maximum(cols_i - max_disp, 0)
         hi = jnp.minimum(cols_i + max_disp, w)
         for _ in range(rounds):
             mid = (lo + hi) // 2
-            v = _vreg_gather(suffix_lo, jnp.clip(mid, 0, wp - 1), kwin, nvreg)
+            v = lgather(suffix_lo, mid)
             go = v < cols + 1.0
             lo = jnp.where(go, mid + 1, lo)
             hi = jnp.where(go, hi, mid)
@@ -128,17 +167,21 @@ def _poly_kernel(cols_ref, x_ref, coord_ref, r_ref, g_ref, b_ref,
     idx_p = search_up(e_hi_p)
     idx_n = search_dn(e_lo_n)
 
+    rr = in_s[3]
+    gg = in_s[4]
+    bb_ = in_s[5]
+
     def gather_pts(base, dks):
         out = {}
         for dk in dks:
             p = jnp.clip(base + dk, 0, w - 1)
             out[dk] = dict(
-                x=_vreg_gather(x, p, kwin, nvreg),
-                cl=_vreg_gather(cl, p, kwin, nvreg),
-                co=_vreg_gather(coord, p, kwin, nvreg),
-                r=_vreg_gather(r_ref[:], p, kwin, nvreg),
-                g=_vreg_gather(g_ref[:], p, kwin, nvreg),
-                b=_vreg_gather(b_ref[:], p, kwin, nvreg),
+                x=lgather(x, p),
+                cl=lgather(cl, p),
+                co=lgather(coord, p),
+                r=lgather(rr, p),
+                g=lgather(gg, p),
+                b=lgather(bb_, p),
             )
         return out
 
@@ -223,9 +266,14 @@ def _poly_kernel(cols_ref, x_ref, coord_ref, r_ref, g_ref, b_ref,
 
     z = jnp.zeros_like(cols)
     acc = jax.lax.fori_loop(0, samples, t_body, (z, z, z))
-    orr_ref[:] = acc[0]
-    org_ref[:] = acc[1]
-    orb_ref[:] = acc[2]
+    for k, (out_hbm, a) in enumerate(zip((orr_hbm, org_hbm, orb_hbm), acc)):
+        out_s[:] = a
+        cp = pltpu.make_async_copy(
+            out_s.at[:, pl.ds(off_in_win, cb)],
+            out_hbm.at[pl.ds(row0, rblock), pl.ds(jb * cb, cb)],
+            sems.at[k])
+        cp.start()
+        cp.wait()
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -240,31 +288,42 @@ def polylines_scanline(x, coord, red, green, blue, *, w: int,
     (divide by `samples` outside), each [N, W].
     """
     n = x.shape[0]
-    wp = _cdiv(w + 1, _LANES) * _LANES   # +1 lane for the right sentinel slot
     rblock = 8
     npad = _cdiv(n, rblock) * rblock
     nblocks = npad // rblock
 
+    # Column blocking: per-program instruction count is set by the local
+    # window (cb + 2*halo), independent of image width; larger blocks
+    # amortize the per-program DMA latency. Small images use one block.
+    halo = _cdiv(max_disp + k_candidates + 2, _LANES) * _LANES + _LANES
+    cb = min(1024, _cdiv(w + 1, _LANES) * _LANES)
+    wp = _cdiv(w + 1, cb) * cb          # covers the right-sentinel slot at w
+    while wp < cb + 2 * halo:
+        wp += cb
+    ncb = wp // cb
+
     def pad(v, fill=0.0):
         return jnp.full((npad, wp), fill, jnp.float32).at[:n, :w].set(v)
 
-    cols = jnp.broadcast_to(jnp.arange(wp, dtype=jnp.int32), (rblock, wp))
+    cols = jnp.broadcast_to(jnp.arange(wp, dtype=jnp.float32), (npad, wp))
     args = (cols, pad(x, 3.0 * w), pad(coord), pad(red), pad(green),
             pad(blue))
 
-    in_spec = pl.BlockSpec((rblock, wp), lambda i: (i, 0),
-                           memory_space=pltpu.VMEM)
-    cols_spec = pl.BlockSpec((rblock, wp), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
+    local = cb + 2 * halo
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     outs = pl.pallas_call(
-        functools.partial(_poly_kernel, w=w, wp=wp, sharp=sharp,
-                          samples=samples, k_candidates=k_candidates,
-                          max_disp=max_disp),
+        functools.partial(_poly_kernel, w=w, wp=wp, cb=cb, halo=halo,
+                          rblock=rblock, sharp=sharp, samples=samples,
+                          k_candidates=k_candidates, max_disp=max_disp),
         out_shape=tuple(jax.ShapeDtypeStruct((npad, wp), jnp.float32)
                         for _ in range(3)),
-        grid=(nblocks,),
-        in_specs=[cols_spec] + [in_spec] * 5,
-        out_specs=(in_spec,) * 3,
+        grid=(nblocks, ncb),
+        in_specs=[any_spec] * 6,
+        out_specs=(any_spec,) * 3,
+        scratch_shapes=[pltpu.VMEM((6, rblock, local), jnp.float32),
+                        pltpu.VMEM((rblock, local), jnp.float32),
+                        pltpu.SemaphoreType.DMA((6,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(*args)
     return tuple(o[:n, :w] for o in outs)
