@@ -64,6 +64,44 @@ def scatter_add_w(dest, values, valid, width):
 
 
 # --------------------------------------------------------------------------
+# Sort-based exact winner selection (scatter-free).
+#
+# XLA's TPU scatter costs ~17 ms per 1080p plane; lax.sort costs ~5 ms and
+# composes with the bounded vreg-gather. Winner-per-destination with exact
+# tie semantics becomes: lexicographic sort of (dest, priority...) keys, then
+# for each output column a windowed binary search for the first element of
+# its dest group. An element's sorted rank differs from its dest by at most
+# the disparity bound (plus the out-of-range count), so the search and the
+# subsequent gathers stay within a bounded window.
+# --------------------------------------------------------------------------
+
+def _first_at_least(sorted_keys: jnp.ndarray, queries: jnp.ndarray,
+                    max_disp: int) -> jnp.ndarray:
+    """First index k with sorted_keys[k] >= query, searched in a window of
+    +-max_disp around each query column. sorted_keys: [..., M] ascending
+    int32; queries: [..., N] int32 (near-diagonal)."""
+    from ..pallas import bounded_take_along_w
+
+    m = sorted_keys.shape[-1]
+    lo = jnp.clip(queries - max_disp, 0, m)
+    hi = jnp.clip(queries + max_disp, 0, m)
+    import math as _math
+
+    rounds = max(1, _math.ceil(_math.log2(2 * max_disp + 2))) + 1
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        v = bounded_take_along_w(sorted_keys, jnp.clip(mid, 0, m - 1),
+                                 max_disp + 2)
+        go = v < queries
+        return jnp.where(go, mid + 1, lo), jnp.where(go, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, rounds, body, (lo, hi))
+    return lo
+
+
+# --------------------------------------------------------------------------
 # Naive integer scatter (reference apply_stereo_divergence_naive :1850-1868,
 # naive_mapping_with_mask :1664-1685).
 # --------------------------------------------------------------------------
@@ -82,6 +120,8 @@ def naive_scatter(image: jnp.ndarray, norm_depth: jnp.ndarray,
 
     Returns (derived [B,H,W,C], filled [B,H,W] bool).
     """
+    from ..pallas import bounded_take_along_w
+
     b, h, w = norm_depth.shape
     cols = jnp.arange(w, dtype=jnp.int32)
     off = depth_ops.signed_power(norm_depth, stereo_offset_exponent) \
@@ -90,17 +130,27 @@ def naive_scatter(image: jnp.ndarray, norm_depth: jnp.ndarray,
     col_d = cols + jnp.trunc(off).astype(jnp.int32)
     valid = (col_d >= 0) & (col_d < w)
 
+    # Sort (dest, priority) lexicographically; the first element of each dest
+    # group is the swipe-order winner exactly.
+    max_off = int(abs(divergence_px) + abs(separation_px)) + 2
+    disp = 2 * max_off + 8
     src_cols = jnp.broadcast_to(cols, norm_depth.shape)
-    if divergence_px < 0:
-        winner = scatter_max_w(col_d, src_cols, valid, w, jnp.int32(-1))
-        hit = winner >= 0
-        winner_c = jnp.clip(winner, 0, w - 1)
-    else:
-        winner = scatter_min_w(col_d, src_cols, valid, w, _BIG)
-        hit = winner < _BIG
-        winner_c = jnp.clip(winner, 0, w - 1)
+    key1 = jnp.where(valid, col_d, jnp.int32(w + max_off + 8))
+    key2 = src_cols if divergence_px >= 0 else (w - 1) - src_cols
+    k1s, k2s = jax.lax.sort((key1, key2), num_keys=2,
+                            dimension=norm_depth.ndim - 1)
+    queries = jnp.broadcast_to(cols, norm_depth.shape)
+    idx = _first_at_least(k1s, queries, disp)
+    idx_c = jnp.clip(idx, 0, w - 1)
+    hit = (idx < w) & (bounded_take_along_w(k1s, idx_c, disp) == queries)
+    x_s = bounded_take_along_w(k2s, idx_c, disp)
+    winner = x_s if divergence_px >= 0 else (w - 1) - x_s
+    winner_c = jnp.clip(jnp.where(hit, winner, queries), 0, w - 1)
 
-    gathered = jnp.take_along_axis(image, winner_c[..., None], axis=2)
+    img_cw = jnp.moveaxis(image, -1, -3)                     # [B,C,H,W]
+    we = jnp.broadcast_to(winner_c[:, None], img_cw.shape)
+    gathered = jnp.moveaxis(bounded_take_along_w(img_cw, we, max_off + 4),
+                            -3, -1)
     derived = jnp.where(hit[..., None], gathered, 0.0)
     return derived, hit
 
@@ -187,31 +237,55 @@ def inverse_splat(image: jnp.ndarray, norm_depth: jnp.ndarray,
 
     Returns (derived [B,H,W,C], written mask [B,H,W] bool).
     """
+    from ..pallas import bounded_take_along_w
+
     b, h, w = norm_depth.shape
     cols = jnp.arange(w, dtype=jnp.float32)
     off = depth_ops.signed_power(norm_depth, stereo_offset_exponent) * divergence_px
     dest_x = cols + 0.5 + off + separation_px
     j0 = jnp.floor(dest_x).astype(jnp.int32)
     closeness = norm_depth
+    writes = closeness > -1.0  # the buffer starts at -1.0 and the test is strict
 
-    zmax = jnp.full((b, h, w), -1.0, dtype=jnp.float32)
-    src_cols = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32), norm_depth.shape)
+    # Each source writes taps j0 and j0+1 with identical (closeness, x).
+    # One lexicographic sort on (j0, -closeness, x) makes the first element
+    # of group g the exact winner of tap-a queries (g == c) AND tap-b queries
+    # (g == c-1); the two tap winners combine by the same (closeness, x)
+    # order. Ties keep the earliest source column, matching the sequential
+    # strict-greater z-buffer exactly.
+    max_off = int(abs(divergence_px) + abs(separation_px)) + 3
+    disp = 2 * max_off + 8
+    src_cols = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32),
+                                norm_depth.shape)
+    valid_any = (j0 >= -1) & (j0 <= w - 1) & writes
+    key1 = jnp.where(valid_any, j0, jnp.int32(w + max_off + 8))
+    k1s, negz, xs = jax.lax.sort((key1, -closeness, src_cols), num_keys=3,
+                                 dimension=norm_depth.ndim - 1)
+    queries = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32),
+                               norm_depth.shape)
 
-    writes = closeness > -1.0  # init buffer is -1.0 and the test is strict
-    for j in (j0, j0 + 1):
-        valid = (j >= 0) & (j < w) & writes
-        zmax = jnp.maximum(zmax, scatter_max_w(j, closeness, valid, w, jnp.float32(-1.0)))
+    def tap(group_queries):
+        idx = _first_at_least(k1s, group_queries, disp)
+        idx_c = jnp.clip(idx, 0, w - 1)
+        ok = (idx < w) & (bounded_take_along_w(k1s, idx_c, disp)
+                          == group_queries)
+        z = -bounded_take_along_w(negz, idx_c, disp)
+        x = bounded_take_along_w(xs, idx_c, disp)
+        return ok, z, x
 
-    winner = jnp.full((b, h, w), _BIG, dtype=jnp.int32)
-    for j in (j0, j0 + 1):
-        valid = (j >= 0) & (j < w) & writes
-        zm = jnp.take_along_axis(zmax, jnp.clip(j, 0, w - 1), axis=-1)
-        is_win = valid & (closeness == zm)
-        winner = jnp.minimum(winner, scatter_min_w(j, src_cols, is_win, w, _BIG))
+    ok_a, z_a, x_a = tap(queries)          # sources with floor(dest) == c
+    ok_b, z_b, x_b = tap(queries - 1)      # sources with floor(dest)+1 == c
+    # tap-a group c requires j0 == c in [0, w-1]: true for all queries; tap-b
+    # group c-1 >= -1: true as well.
+    use_b = ok_b & (~ok_a | (z_b > z_a) | ((z_b == z_a) & (x_b < x_a)))
+    hit = ok_a | ok_b
+    winner = jnp.where(use_b, x_b, x_a)
+    winner_c = jnp.clip(jnp.where(hit, winner, queries), 0, w - 1)
 
-    hit = zmax > -1.0
-    winner_c = jnp.clip(winner, 0, w - 1)
-    gathered = jnp.take_along_axis(image, winner_c[..., None], axis=2)
+    img_cw = jnp.moveaxis(image, -1, -3)
+    we = jnp.broadcast_to(winner_c[:, None], img_cw.shape)
+    gathered = jnp.moveaxis(bounded_take_along_w(img_cw, we, max_off + 4),
+                            -3, -1)
     derived = jnp.where(hit[..., None], gathered, 0.0)
     return derived, hit
 
