@@ -302,6 +302,8 @@ def gaussian_splat(image: jnp.ndarray, norm_depth: jnp.ndarray,
     """Distribute each source pixel over three destination columns with
     Gaussian weights (sigma=1); returns (normalized uint8-valued image, mask).
     """
+    from ..pallas import bounded_take_along_w
+
     b, h, w = norm_depth.shape
     c = image.shape[-1]
     cols = jnp.arange(w, dtype=jnp.float32)
@@ -309,19 +311,62 @@ def gaussian_splat(image: jnp.ndarray, norm_depth: jnp.ndarray,
     dest_x = cols + 0.5 + off + separation_px
     j_center = jnp.floor(dest_x).astype(jnp.int32)
 
+    # Scatter-add-free: sort sources by j_center once (carrying the sub-pixel
+    # fraction and colors), then each of the three taps dd in {-1,0,1} is a
+    # segmented sum over the SAME sorted order queried at group c-dd,
+    # computed as prefix-sum differences at the group boundaries.
+    max_off = int(abs(divergence_px) + abs(separation_px)) + 3
+    disp = 2 * max_off + 10
+    src_cols = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32),
+                                norm_depth.shape)
+    valid_src = (j_center >= -1) & (j_center <= w)
+    key1 = jnp.where(valid_src, j_center, jnp.int32(w + max_off + 9))
+    frac = dest_x - j_center.astype(jnp.float32)
+    chans = [image[..., ch] for ch in range(c)]
+    k1s, frac_s, *chan_s = jax.lax.sort(
+        (key1, frac) + tuple(chans), num_keys=1,
+        dimension=norm_depth.ndim - 1, is_stable=True)
+
+    queries = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32),
+                               norm_depth.shape)
+    # Group boundary ranks for groups c-1, c, c+1 (computed from two searches
+    # per needed boundary value; ranks are near-diagonal so the bounded
+    # binary search applies).
+    starts = {dd: _first_at_least(k1s, queries - dd, disp)
+              for dd in (-1, 0, 1)}
+    ends = {dd: _first_at_least(k1s, queries - dd + 1, disp)
+            for dd in (-1, 0, 1)}
+
     accum = jnp.zeros((b, h, w, c), dtype=jnp.float32)
     wsum = jnp.zeros((b, h, w), dtype=jnp.float32)
-    hit = jnp.zeros((b, h, w), dtype=jnp.int32)
+    hit = jnp.zeros((b, h, w), dtype=bool)
     for dd in (-1, 0, 1):
-        j = j_center + dd
-        valid = (j >= 0) & (j < w)
-        diff = dest_x - j.astype(jnp.float32)
+        diff = frac_s - dd
         wght = jnp.exp(-(diff * diff) / 2.0)
-        for ch in range(c):
-            accum = accum.at[..., ch].set(
-                accum[..., ch] + scatter_add_w(j, image[..., ch] * wght, valid, w))
-        wsum = wsum + scatter_add_w(j, wght, valid, w)
-        hit = jnp.maximum(hit, scatter_max_w(j, jnp.ones_like(j), valid, w, jnp.int32(0)))
+        sums = [wght] + [cs_ * wght for cs_ in chan_s]
+        # exclusive prefix sums, then segment sum = ps[end] - ps[start]
+        lo_idx = jnp.clip(starts[dd], 0, w - 1)
+        hi_idx = jnp.clip(ends[dd], 0, w - 1)
+        seg_nonempty = ends[dd] > starts[dd]
+        # destination validity: group (c - dd) + dd == c is always in range
+        for slot, vals in enumerate(sums):
+            ps = jnp.cumsum(vals, axis=-1)
+            ps_hi = jnp.where(ends[dd] > 0,
+                              bounded_take_along_w(
+                                  ps, jnp.clip(ends[dd] - 1, 0, w - 1), disp),
+                              0.0)
+            ps_lo = jnp.where(starts[dd] > 0,
+                              bounded_take_along_w(
+                                  ps, jnp.clip(starts[dd] - 1, 0, w - 1),
+                                  disp),
+                              0.0)
+            seg = jnp.where(seg_nonempty, ps_hi - ps_lo, 0.0)
+            if slot == 0:
+                wsum = wsum + seg
+            else:
+                accum = accum.at[..., slot - 1].set(accum[..., slot - 1] + seg)
+        hit = hit | seg_nonempty
+        del lo_idx, hi_idx
 
     # +1e-3 nudge before truncation: the normalized value in flat regions is
     # mathematically an exact integer, but f32 summation order makes the raw
