@@ -35,6 +35,13 @@ _PROJECTIONS = {
     "sphere360": Projection.SPHERE_360,
     "dome180": Projection.DOME_180,
 }
+# Reference native_nodes.py:142-149 background-color name -> RGB map.
+_BG_COLORS = {
+    "Black": (0.0, 0.0, 0.0),
+    "Dark Gray": (0.15, 0.15, 0.15),
+    "Gray": (0.5, 0.5, 0.5),
+    "White": (1.0, 1.0, 1.0),
+}
 
 
 def _temp_dir() -> str:
@@ -69,7 +76,14 @@ class NativeStereoImageViewer:
                 "image": ("IMAGE",),
                 "stereo_format": (list(_FORMATS.keys()),),
                 "projection": (list(_PROJECTIONS.keys()),),
+                "screen_size": ("FLOAT", {"default": 3.0, "min": 1.0,
+                                          "max": 10.0, "step": 0.5}),
+                "screen_distance": ("FLOAT", {"default": 3.0, "min": 1.0,
+                                              "max": 10.0, "step": 0.5}),
                 "swap_eyes": ("BOOLEAN", {"default": False}),
+            },
+            "optional": {
+                "background_color": (list(_BG_COLORS.keys()),),
             },
         }
 
@@ -80,7 +94,9 @@ class NativeStereoImageViewer:
     CATEGORY = "stereo/vr"
 
     def view_stereo_native(self, image, stereo_format="side_by_side",
-                           projection="flat", swap_eyes=False):
+                           projection="flat", screen_size=3.0,
+                           screen_distance=3.0, swap_eyes=False,
+                           background_color="Black"):
         img = np.asarray(image.detach().cpu().numpy()
                          if hasattr(image, "detach") else image)
         if img.ndim == 4:
@@ -92,7 +108,11 @@ class NativeStereoImageViewer:
                 image_path=path,
                 stereo_format=_FORMATS[stereo_format],
                 projection=_PROJECTIONS[projection],
-                swap_eyes=bool(swap_eyes)))
+                swap_eyes=bool(swap_eyes),
+                screen_size=float(screen_size),
+                screen_distance=float(screen_distance),
+                background_color=_BG_COLORS.get(background_color,
+                                                (0.0, 0.0, 0.0))))
         else:
             print(f"[comfystereo-tpu] VR viewer unavailable: {msg}")
         return (image,)
@@ -106,9 +126,16 @@ class NativeStereoVideoViewer:
                 "video_path": ("STRING", {"default": ""}),
                 "stereo_format": (list(_FORMATS.keys()),),
                 "projection": (list(_PROJECTIONS.keys()),),
+                "screen_size": ("FLOAT", {"default": 3.0, "min": 1.0,
+                                          "max": 10.0, "step": 0.5}),
+                "screen_distance": ("FLOAT", {"default": 3.0, "min": 1.0,
+                                              "max": 10.0, "step": 0.5}),
                 "loop_video": ("BOOLEAN", {"default": True}),
                 "audio_enabled": ("BOOLEAN", {"default": True}),
                 "swap_eyes": ("BOOLEAN", {"default": False}),
+            },
+            "optional": {
+                "background_color": (list(_BG_COLORS.keys()),),
             },
         }
 
@@ -119,8 +146,10 @@ class NativeStereoVideoViewer:
     CATEGORY = "stereo/vr"
 
     def view_video_native(self, video_path, stereo_format="side_by_side",
-                          projection="flat", loop_video=True,
-                          audio_enabled=True, swap_eyes=False):
+                          projection="flat", screen_size=3.0,
+                          screen_distance=3.0, loop_video=True,
+                          audio_enabled=True, swap_eyes=False,
+                          background_color="Black"):
         ok, msg = check_openxr_available()
         if ok and video_path and os.path.exists(video_path):
             launch_native_viewer(MediaUpdate(
@@ -128,7 +157,11 @@ class NativeStereoVideoViewer:
                 stereo_format=_FORMATS[stereo_format],
                 projection=_PROJECTIONS[projection],
                 swap_eyes=bool(swap_eyes), loop_video=bool(loop_video),
-                audio_enabled=bool(audio_enabled)))
+                audio_enabled=bool(audio_enabled),
+                screen_size=float(screen_size),
+                screen_distance=float(screen_distance),
+                background_color=_BG_COLORS.get(background_color,
+                                                (0.0, 0.0, 0.0))))
         elif not ok:
             print(f"[comfystereo-tpu] VR viewer unavailable: {msg}")
         return (video_path,)

@@ -82,3 +82,6 @@ class MediaUpdate:
     swap_eyes: bool = False
     loop_video: bool = True
     audio_enabled: bool = True
+    screen_size: float = 4.0
+    screen_distance: float = 3.0
+    background_color: tuple = (0.0, 0.0, 0.0)

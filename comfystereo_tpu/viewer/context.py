@@ -63,6 +63,27 @@ class GLFWVisibleContextProvider:  # pragma: no cover - needs a display
             keyboard_handler.handle(name)
         self._pressed.clear()
 
+    # -- OpenXR context-provider protocol (xr.utils.gl expects these) --------
+
+    def make_current(self):
+        import glfw
+
+        if self.window is not None:
+            glfw.make_context_current(self.window)
+
+    def done_current(self):
+        import glfw
+
+        glfw.make_context_current(None)
+
+    def __enter__(self):
+        self.make_current()
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        self.destroy()
+        return False
+
     def destroy(self):
         import glfw
 

@@ -66,19 +66,21 @@ def create_flat_screen(width: float = 4.0, aspect: float = 16 / 9,
 
 def create_curved_screen(width: float = 4.0, aspect: float = 16 / 9,
                          distance: float = 3.0, curve: float = 0.4,
-                         segments: int = 20, rows: int = 10
+                         segments: int = 20, rows: int = 10,
+                         x_offset: float = 0.0, y_offset: float = 0.0
                          ) -> Tuple[np.ndarray, np.ndarray]:
     """Horizontally curved arc screen; `curve` = arc strength (0..1)."""
     h = width / aspect
     arc = curve * np.pi  # total subtended angle
     theta = np.linspace(-arc / 2, arc / 2, segments + 1)
     radius = width / max(arc, 1e-6)
-    ys = np.linspace(EYE_HEIGHT - h / 2, EYE_HEIGHT + h / 2, rows + 1)
+    ys = np.linspace(EYE_HEIGHT - h / 2 + y_offset,
+                     EYE_HEIGHT + h / 2 + y_offset, rows + 1)
     th_g, y_g = np.meshgrid(theta, ys)
-    x = radius * np.sin(th_g)
+    x = radius * np.sin(th_g) + x_offset
     z = -(distance + radius * (1.0 - np.cos(th_g)) - radius * 0.0)
     u = (th_g + arc / 2) / max(arc, 1e-6)
-    v = 1.0 - (y_g - (EYE_HEIGHT - h / 2)) / h
+    v = 1.0 - (y_g - (EYE_HEIGHT - h / 2 + y_offset)) / h
     verts = np.stack([x, y_g, z, u, v], axis=-1).reshape(-1, 5).astype(np.float32)
     return verts, _grid_indices(rows + 1, segments + 1)
 

@@ -119,11 +119,192 @@ def test_viewer_queue_drains_to_latest():
     assert not v.check_for_updates()  # queue empty now
 
 
-def test_viewer_tick_polls_every_interval():
+def test_viewer_tick_polls_first_frame_then_every_interval():
     v = core.PersistentNativeViewer()
     v.update_media(MediaUpdate(image_path="x.png"))
-    changed = [v.tick() for _ in range(core.MEDIA_POLL_INTERVAL)]
-    assert changed[-1] is not None and all(c is None for c in changed[:-1])
+    changed = [v.tick() for _ in range(core.MEDIA_POLL_INTERVAL + 1)]
+    # Polls immediately on frame 0 (reference core.py:419-421)...
+    assert changed[0] is not None
+    # ...then not again until MEDIA_POLL_INTERVAL frames later.
+    v.update_media(MediaUpdate(image_path="y.png"))
+    assert all(c is None for c in changed[1:core.MEDIA_POLL_INTERVAL])
+    assert changed[core.MEDIA_POLL_INTERVAL] is None  # queued after the poll
+    for _ in range(core.MEDIA_POLL_INTERVAL - 1):
+        assert v.tick() is None
+    assert v.tick().image_path == "y.png"
+
+
+# --- render-loop pure logic (math, geometry params, playback state) ----------
+
+class FakeCapture:
+    """Stands in for media.VideoCapture in headset-free tests."""
+
+    def __init__(self, fps=30.0, frame_count=300):
+        self.fps = fps
+        self.frame_count = frame_count
+        self.current_frame = 0
+        self.calls = []
+
+    def seek(self, idx):
+        self.current_frame = max(0, idx)
+        self.calls.append(("seek", idx))
+
+    def restart(self):
+        self.seek(0)
+        self.calls.append(("restart",))
+
+
+class FakeAudio:
+    def __init__(self):
+        self.calls = []
+
+    def seek(self, seconds):
+        self.calls.append(("seek", seconds))
+
+
+def test_projection_matrix_symmetric_fov():
+    from comfystereo_tpu.viewer import math3d
+
+    a = np.pi / 4
+    proj = math3d.projection_from_fov(-a, a, a, -a, near=0.1, far=100.0)
+    # Symmetric 90-degree FOV: focal terms are 1, no off-axis shear.
+    assert proj[0, 0] == pytest.approx(1.0)
+    assert proj[1, 1] == pytest.approx(1.0)
+    assert proj[0, 2] == pytest.approx(0.0) and proj[1, 2] == pytest.approx(0.0)
+    # A point on the near plane maps to clip z=-1, far plane to z=+1.
+    for z, expect in [(-0.1, -1.0), (-100.0, 1.0)]:
+        clip = proj @ np.array([0, 0, z, 1.0])
+        assert clip[2] / clip[3] == pytest.approx(expect, abs=1e-5)
+
+
+def test_projection_matrix_asymmetric_offaxis():
+    from comfystereo_tpu.viewer import math3d
+
+    proj = math3d.projection_from_fov(-0.9, 0.5, 0.7, -0.6)
+    assert proj[0, 2] != 0.0 and proj[1, 2] != 0.0  # off-axis terms present
+
+
+def test_view_from_pose_inverts_rigid_body():
+    from comfystereo_tpu.viewer import math3d
+
+    # 90-degree rotation about Y plus a translation.
+    q = (0.0, np.sin(np.pi / 4), 0.0, np.cos(np.pi / 4))
+    t = (1.0, 2.0, 3.0)
+    view = math3d.view_from_pose(t, q)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = math3d.quat_to_mat3(q)
+    pose[:3, 3] = t
+    np.testing.assert_allclose(view @ pose, np.eye(4), atol=1e-5)
+    # The eye position maps to the origin in view space.
+    np.testing.assert_allclose((view @ np.array([1, 2, 3, 1.0]))[:3], 0,
+                               atol=1e-5)
+
+
+def test_quat_identity_and_mvp():
+    from comfystereo_tpu.viewer import math3d
+
+    np.testing.assert_allclose(math3d.quat_to_mat3((0, 0, 0, 1)), np.eye(3),
+                               atol=1e-7)
+    p = math3d.projection_from_fov(-0.7, 0.7, 0.7, -0.7)
+    v = math3d.view_from_pose((0, 0, 0), (0, 0, 0, 1))
+    np.testing.assert_allclose(math3d.mvp(p, v), p @ v, atol=1e-6)
+    np.testing.assert_allclose(math3d.mvp(p, v, np.eye(4, dtype=np.float32)),
+                               p @ v, atol=1e-6)
+
+
+def test_geometry_spec_consumes_all_view_state():
+    st = controls.ViewerState()
+    st.screen_size, st.screen_distance = 5.0, 2.0
+    st.align_x, st.align_y = 0.3, -0.2
+    proj, kwargs = core.geometry_spec(st, aspect=16 / 9)
+    assert proj == Projection.FLAT
+    assert kwargs["width"] == 5.0 and kwargs["distance"] == 2.0
+    assert kwargs["x_offset"] == 0.3 and kwargs["y_offset"] == -0.2
+    st.projection = Projection.DOME_180
+    _, kwargs = core.geometry_spec(st, aspect=1.0)
+    assert kwargs == {"radius": 4.0}
+    st.projection = Projection.SPHERE_360
+    _, kwargs = core.geometry_spec(st, aspect=1.0)
+    assert kwargs == {"radius": core.SPHERE_RADIUS}
+
+
+def test_geometry_key_changes_on_keyboard_actions():
+    st = controls.ViewerState()
+    kb = controls.KeyboardHandler(st)
+    k0 = core.geometry_key(st, 16 / 9)
+    assert core.geometry_key(st, 16 / 9) == k0  # stable
+    for key in ("page_up", "equal", "w", "p"):
+        prev = core.geometry_key(st, 16 / 9)
+        kb.handle(key)
+        assert core.geometry_key(st, 16 / 9) != prev, key
+    assert core.geometry_key(st, 16 / 9) != core.geometry_key(st, 4 / 3)
+
+
+def test_build_projection_mesh_all_projections():
+    st = controls.ViewerState()
+    for proj in Projection:
+        st.projection = proj
+        verts, idx = core.build_projection_mesh(st, aspect=16 / 9)
+        assert verts.shape[1] == 5 and idx.shape[1] == 3
+
+
+def test_curved_screen_alignment_offsets():
+    v0, _ = geometry.create_curved_screen(x_offset=0.0, y_offset=0.0)
+    v1, _ = geometry.create_curved_screen(x_offset=0.5, y_offset=-0.25)
+    np.testing.assert_allclose(v1[:, 0] - v0[:, 0], 0.5, atol=1e-6)
+    np.testing.assert_allclose(v1[:, 1] - v0[:, 1], -0.25, atol=1e-6)
+    np.testing.assert_allclose(v1[:, 3:], v0[:, 3:], atol=1e-6)  # UVs fixed
+
+
+def test_apply_playback_state_seek_and_restart():
+    st = controls.ViewerState()
+    cap = FakeCapture(fps=30.0, frame_count=300)
+    aud = FakeAudio()
+    cap.current_frame = 150
+    st.seek_request = +5.0
+    actions = core.apply_playback_state(st, cap, aud)
+    assert actions == ["seek:299"]  # 150 + 150 clamped to frame_count-1
+    assert st.seek_request == 0.0
+    assert ("seek", 299 / 30.0) in aud.calls
+    st.seek_request = -1000.0
+    assert core.apply_playback_state(st, cap, aud) == ["seek:0"]
+    st.restart_request = True
+    st.seek_request = 2.0  # restart wins and clears pending seeks
+    assert core.apply_playback_state(st, cap, aud) == ["restart"]
+    assert cap.current_frame == 0 and st.seek_request == 0.0
+
+
+def test_apply_playback_state_without_capture_clears_requests():
+    st = controls.ViewerState()
+    st.seek_request, st.restart_request = 5.0, True
+    assert core.apply_playback_state(st, None, None) == []
+    assert st.seek_request == 0.0 and not st.restart_request
+
+
+def test_video_frame_action_wall_clock_fallback():
+    # No audio clock: advance only after a frame period has elapsed.
+    assert core.video_frame_action(None, 10.0, 10.0, 30.0, 7) == (7, "hold")
+    assert core.video_frame_action(None, 10.05, 10.0, 30.0, 7) == (8, "advance")
+    # Audio clock present: defer to schedule_video_frame.
+    assert core.video_frame_action(2.0, 0.0, 0.0, 30.0, 10) == (60, "seek")
+
+
+def test_end_of_video_action():
+    assert core.end_of_video_action(True) == "restart"
+    assert core.end_of_video_action(False) == "hold"
+
+
+def test_teardown_resets_for_clean_restart():
+    v = core.PersistentNativeViewer()
+    v.update_media(MediaUpdate(image_path="x.png"))
+    v.tick()
+    v.state.screen_distance = 9.0
+    v._frame_counter = 55
+    v._teardown()
+    assert v.current_media is None and v.media_queue.empty()
+    assert v.state.screen_distance == 3.0  # fresh ViewerState
+    assert v.keyboard.state is v.state  # keyboard rebound to the new state
+    assert not v.running and v._frame_counter == 0
 
 
 # --- availability + nodes ---------------------------------------------------
