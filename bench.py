@@ -1,20 +1,32 @@
 #!/usr/bin/env python
-"""Headline benchmark: 1080p depth->SBS stereo conversion, frames/sec/chip.
+"""Benchmarks for the five BASELINE.md configs.
 
-Measures the default pipeline (gpu_warp fill + edge-aware depth blur,
-left-right SBS — the Stereo Image node defaults) on the available accelerator,
-and compares against the CPU reference throughput.
+Default mode prints the ONE headline JSON line the driver records:
+1080p depth->SBS stereo conversion (gpu_warp + edge-aware depth blur, the
+Stereo Image node defaults), frames/sec/chip vs the CPU reference.
 
-CPU baseline: the reference's CPU engine is Numba-JIT scanline code
-(stereoimage_generation.py:1850-1992). Numba is not installed in this image
-(the reference itself would fall back to pure Python, orders of magnitude
-slower), so the baseline is a vectorized-numpy implementation of the
-reference's naive scatter + blur path — an optimistic stand-in for the numba
-kernels (same memory-bound row operations, no JIT warmup).
+`--full` additionally benchmarks every BASELINE.json config and prints one
+JSON line per config:
+  1. 512x512 synthetic + gradient depth, naive fill, left-right SBS
+  2. 1080p single image, polylines fill + depth blur, div/convergence sweep
+  3. 720p batched video frames, hybrid-edge fill, top-bottom output
+  4. 4K image, gpu_warp fill + red-cyan anaglyph, no_fill mask validation
+  5. Video2Stereo workflow: batched 4K, all fill techniques, balance sweep
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Accuracy column: fill-region SSIM (and exact mask parity for #4) vs the
+sequential CPU oracle (tests/oracle/stereo_oracle.py — pure-python loops,
+since numba is absent here just as the reference would degrade). The oracle
+is O(pixels) interpreted Python, so SSIM validation runs at a reduced
+`--oracle-width` (default 512 px wide, same inputs for both sides); fps is
+always measured at the config's full resolution.
+
+CPU baseline denominator: vectorized-numpy twin of the reference CPU naive
+path — an optimistic stand-in for the numba kernels (same memory-bound row
+operations, no JIT warmup).
 """
+import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -45,7 +57,8 @@ def _cpu_reference_naive(img_u8, depth, divergence=4.5, exponent=2.0,
         lr = np.maximum.accumulate(cr, axis=1)
         dist_r = np.where(lr >= 0, cols - lr, 21.0)[:, ::-1]
         wgt = np.clip(1.0 - np.minimum(dist_l, dist_r) / 20.0, 0, 1) ** 2.0
-        wgt = np.clip(convolve1d(wgt, np.ones(13) / 13, axis=0, mode="nearest"), 0, 1)
+        wgt = np.clip(convolve1d(wgt, np.ones(13) / 13, axis=0,
+                                 mode="nearest"), 0, 1)
         eyes_depth.append(wgt * blurred + (1 - wgt) * d)
 
     out = []
@@ -63,7 +76,233 @@ def _cpu_reference_naive(img_u8, depth, divergence=4.5, exponent=2.0,
     return np.concatenate(out, axis=1)
 
 
+# ---------------------------------------------------------------------------
+# Helpers (full mode)
+# ---------------------------------------------------------------------------
+
+def _ssim_map(a, b):
+    """SSIM map on [H,W] grayscale float 0-1, 7x7 uniform window."""
+    from scipy.ndimage import uniform_filter
+
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    mu_a = uniform_filter(a, 7)
+    mu_b = uniform_filter(b, 7)
+    va = uniform_filter(a * a, 7) - mu_a ** 2
+    vb = uniform_filter(b * b, 7) - mu_b ** 2
+    cov = uniform_filter(a * b, 7) - mu_a * mu_b
+    return ((2 * mu_a * mu_b + c1) * (2 * cov + c2)
+            / ((mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2)))
+
+
+def _fill_region_ssim(mine01, oracle01, mask):
+    """Mean SSIM over the fill-imperfection region (BASELINE acceptance
+    metric); falls back to the full frame when the mask is empty."""
+    ga = mine01.mean(axis=-1)
+    gb = oracle01.mean(axis=-1)
+    smap = _ssim_map(ga.astype(np.float64), gb.astype(np.float64))
+    region = mask > 0.5
+    if not region.any():
+        return float(smap.mean())
+    from scipy.ndimage import binary_dilation
+
+    region = binary_dilation(region, iterations=3)  # include fill borders
+    return float(smap[region].mean())
+
+
+def _oracle_sbs(img01, depth255, cfg, oracle):
+    """CPU-oracle stereo pair (first mode) for a single frame, uint8/255."""
+    d = depth255
+    if cfg.depth_map_blur and cfg.depth_blur_strength > 0:
+        ld, rd = oracle.directional_motion_blur(
+            d, cfg.depth_blur_strength, cfg.depth_blur_edge_threshold,
+            cfg.depth_blur_strength, cfg.depth_blur_falloff,
+            cfg.depth_blur_vert_smooth)
+    else:
+        ld = rd = d
+    img_u8 = np.trunc(np.clip(img01 * 255.0, 0, 255)).astype(np.float32)
+    divl, divr = cfg.eye_divergences()
+    left = img_u8 if divl < 0.001 else oracle.dispatch(
+        img_u8, ld, +divl, -cfg.separation, cfg.stereo_offset_exponent,
+        cfg.fill_technique, cfg.convergence_point)
+    right = img_u8 if divr < 0.001 else oracle.dispatch(
+        img_u8, rd, -divr, +cfg.separation, cfg.stereo_offset_exponent,
+        cfg.fill_technique, cfg.convergence_point)
+    mode = cfg.modes[0]
+    if mode == "top-bottom":
+        return np.concatenate([left, right], axis=0) / 255.0
+    return np.concatenate([left, right], axis=1) / 255.0
+
+
+def _time_fps(fn, sync, frames_per_call, iters=5):
+    fn()  # compile / warm
+    sync()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    sync(out)
+    return frames_per_call * iters / (time.perf_counter() - t0)
+
+
+def _scaled_inputs(img01, depth, width):
+    """Downscale a frame pair for the oracle-validation pass."""
+    from PIL import Image
+
+    h, w = depth.shape
+    nh = max(32, int(round(h * width / w)))
+    im = Image.fromarray((img01 * 255).astype(np.uint8)).resize(
+        (width, nh), Image.BILINEAR)
+    dm = Image.fromarray(depth.astype(np.float32), mode="F").resize(
+        (width, nh), Image.BILINEAR)
+    return np.asarray(im, np.float32) / 255.0, np.asarray(dm, np.float32)
+
+
+def _validate(cfg, img01, depth, oracle_width):
+    """Fill-region SSIM vs the CPU oracle at the validation width."""
+    import jax.numpy as jnp
+    import comfystereo_tpu as cs
+    sys.path.insert(0, ".")
+    from tests.oracle import stereo_oracle as oracle
+
+    simg, sdepth = _scaled_inputs(img01, depth, oracle_width)
+    out = cs.stereo_pipeline(jnp.asarray(simg[None]),
+                             jnp.asarray(sdepth[None]), cfg)
+    mine = np.asarray(out["stereo"][0][0])
+    mask = np.asarray(out["mask"][0])
+    want = _oracle_sbs(simg, sdepth, cfg, oracle)
+    if mine.shape != want.shape:  # anaglyph and friends: crop to first mode
+        want = want[:mine.shape[0], :mine.shape[1]]
+    if mask.shape != mine.shape[:2]:  # gpu_warp mask is per-eye [H,W]
+        axis = 0 if cfg.modes[0] == "top-bottom" else 1
+        mask = np.concatenate([mask, mask], axis=axis)
+        if mask.shape != mine.shape[:2]:
+            mask = np.ones(mine.shape[:2])
+    return _fill_region_ssim(mine, want, mask), None
+
+
+def run_full(oracle_width=512):
+    import jax
+    import jax.numpy as jnp
+    import comfystereo_tpu as cs
+    from comfystereo_tpu.utils import fixtures
+    sys.path.insert(0, ".")
+    from tests.oracle import stereo_oracle as oracle
+
+    def sync(out=None):
+        if out is not None:
+            np.asarray(jax.tree_util.tree_leaves(out)[0])[:1]
+
+    results = []
+
+    def frame(h, w):
+        return (fixtures.create_test_image(h, w).astype(np.float32) / 255.0,
+                fixtures.create_depth_map(h, w).astype(np.float32))
+
+    # --- Config 1: 512x512 synthetic, naive fill, SBS -----------------------
+    img, dm = frame(512, 512)
+    cfg = cs.StereoConfig(fill_technique="naive", modes=("left-right",),
+                          depth_map_blur=False)
+    x, d = jnp.asarray(img[None]), jnp.asarray(dm[None])
+    fps = _time_fps(lambda: cs.stereo_pipeline(x, d, cfg), sync, 1)
+    ssim, _ = _validate(cfg, img, dm, oracle_width)
+    results.append({"config": "1_512_naive_sbs", "fps_per_chip": round(fps, 2),
+                    "fill_region_ssim": round(ssim, 5)})
+
+    # --- Config 2: 1080p polylines + blur, divergence/convergence sweep -----
+    img, dm = frame(1080, 1920)
+    x, d = jnp.asarray(img[None]), jnp.asarray(dm[None])
+    sweep = [(2.0, 0.5), (4.5, 0.5), (4.5, 0.0), (7.0, 1.0)]
+    cfgs = [cs.StereoConfig(fill_technique="polylines_sharp",
+                            divergence=dv, convergence_point=cv,
+                            modes=("left-right",), depth_map_blur=True)
+            for dv, cv in sweep]
+    for c in cfgs:
+        sync(cs.stereo_pipeline(x, d, c))  # warm each sweep point
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        for c in cfgs:
+            out = cs.stereo_pipeline(x, d, c)
+    sync(out)
+    fps = len(cfgs) * iters / (time.perf_counter() - t0)
+    ssim, _ = _validate(cfgs[1], img, dm, oracle_width)
+    results.append({"config": "2_1080p_polylines_sweep",
+                    "fps_per_chip": round(fps, 2),
+                    "sweep_points": len(cfgs),
+                    "fill_region_ssim": round(ssim, 5)})
+
+    # --- Config 3: 720p batched video frames, hybrid_edge, top-bottom -------
+    B = 12
+    img, dm = frame(720, 1280)
+    imgs = np.stack([np.roll(img, 8 * i, axis=1) for i in range(B)])
+    dms = np.stack([np.roll(dm, 8 * i, axis=1) for i in range(B)])
+    cfg = cs.StereoConfig(fill_technique="hybrid_edge", modes=("top-bottom",),
+                          depth_map_blur=True)
+    x, d = jnp.asarray(imgs), jnp.asarray(dms)
+    fps = _time_fps(lambda: cs.stereo_pipeline(x, d, cfg), sync, B, iters=3)
+    ssim, _ = _validate(cfg, img, dm, oracle_width)
+    results.append({"config": "3_720p_video_hybrid_edge_tb",
+                    "fps_per_chip": round(fps, 2), "batch": B,
+                    "fill_region_ssim": round(ssim, 5)})
+
+    # --- Config 4: 4K gpu_warp + anaglyph, mask validation -------------------
+    img, dm = frame(2160, 3840)
+    cfg = cs.StereoConfig(fill_technique="gpu_warp",
+                          modes=("red-cyan-anaglyph",), depth_map_blur=True)
+    x, d = jnp.asarray(img[None]), jnp.asarray(dm[None])
+    fps = _time_fps(lambda: cs.stereo_pipeline(x, d, cfg), sync, 1, iters=3)
+    # Mask validation: exact parity vs the sequential z-buffer oracle at the
+    # validation width (blur off isolates the warp's coverage semantics).
+    cfg_nb = cs.StereoConfig(fill_technique="gpu_warp", modes=("left-only",),
+                             depth_map_blur=False, stereo_balance=1.0)
+    simg, sdm = _scaled_inputs(img, dm, oracle_width)
+    out_v = cs.stereo_pipeline(jnp.asarray(simg[None]),
+                               jnp.asarray(sdm[None]), cfg_nb)
+    divl = cfg_nb.eye_divergences()[0] / 100.0 * simg.shape[1]
+    _, want_gap = oracle.forward_warp(simg, sdm, +divl, 0.0,
+                                      cfg_nb.stereo_offset_exponent,
+                                      cfg_nb.convergence_point)
+    mask_parity = float(((np.asarray(out_v["mask"][0]) > 0.5)
+                         == want_gap).mean())
+    results.append({"config": "4_4k_warp_anaglyph_mask",
+                    "fps_per_chip": round(fps, 2),
+                    "mask_exact_parity": round(mask_parity, 6)})
+
+    # --- Config 5: Video2Stereo workflow, 4K batch, all fills, balance sweep -
+    B = 2
+    img, dm = frame(2160, 3840)
+    imgs = np.stack([np.roll(img, 16 * i, axis=1) for i in range(B)])
+    dms = np.stack([np.roll(dm, 16 * i, axis=1) for i in range(B)])
+    x, d = jnp.asarray(imgs), jnp.asarray(dms)
+    techniques = list(cs.config.FILL_TECHNIQUES)
+    balances = (0.0, 0.5)
+    cfgs = [cs.StereoConfig(fill_technique=t, stereo_balance=b,
+                            modes=("left-right",), depth_map_blur=True)
+            for t in techniques for b in balances]
+    for c in cfgs:
+        sync(cs.stereo_pipeline(x, d, c))
+    t0 = time.perf_counter()
+    for c in cfgs:
+        out = cs.stereo_pipeline(x, d, c)
+    sync(out)
+    fps = len(cfgs) * B / (time.perf_counter() - t0)
+    results.append({"config": "5_video2stereo_4k_all_fills",
+                    "fps_per_chip": round(fps, 2),
+                    "fill_techniques": len(techniques),
+                    "balance_sweep": len(balances)})
+
+    for r in results:
+        print(json.dumps(r))
+    return results
+
+
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--full", action="store_true",
+                        help="benchmark all five BASELINE configs")
+    parser.add_argument("--oracle-width", type=int, default=512,
+                        help="validation width for the pure-python oracle")
+    args = parser.parse_args()
+
     import jax
     import jax.numpy as jnp
     import comfystereo_tpu as cs
@@ -107,6 +346,9 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(tpu_fps / cpu_fps, 2),
     }))
+
+    if args.full:
+        run_full(args.oracle_width)
 
 
 if __name__ == "__main__":

@@ -270,6 +270,9 @@ class DiffusionModel:
     text_encode: Callable
     latent_channels: int = 4
     context_dim: int = 64
+    # UNet input channels; 9 selects the SD-inpainting concat path
+    # (latents + mask + masked-image latents, model_wrappers.py:594-612).
+    unet_in_channels: int = 4
 
 
 def make_toy_model(rng: Optional[jax.Array] = None, image_size: int = 32,

@@ -186,7 +186,16 @@ def diffusion_inpaint(model: DiffusionModel, image_nchw: jnp.ndarray,
                       num_inference_steps: int = 20, strength: float = 0.75,
                       guidance_scale: float = 7.5, seed: int = 0
                       ) -> jnp.ndarray:
-    """Masked-latent-blending inpainting loop (any latent diffusion model).
+    """Inpainting loop with two model-dependent paths:
+
+    * 9-channel SD-inpainting UNets (`model.unet_in_channels == 2*C + 1`):
+      each step's UNet input is [latents | mask | masked-image latents]
+      concatenated along channels, exactly like the reference's
+      ComfyUIInpaintRunner (model_wrappers.py:594-612) — the UNet itself
+      learned to keep the unmasked region.
+    * any other latent diffusion model: masked-latent blending — known
+      content is re-imposed outside the mask at the matching noise level
+      after every step.
 
     mask_nchw: [B,1,H,W], 1 = region to regenerate.
     """
@@ -195,10 +204,22 @@ def diffusion_inpaint(model: DiffusionModel, image_nchw: jnp.ndarray,
     uncond = model.text_encode("")
     ctx = jnp.concatenate([uncond, cond], axis=0)
 
+    lat_c = model.latent_channels
+    nine_ch = model.unet_in_channels == 2 * lat_c + 1
+
     lat0 = image_to_latent(model, image_nchw)
     lh, lw = lat0.shape[-2:]
-    mask_lat = jax.image.resize(mask_nchw, (*mask_nchw.shape[:2], lh, lw),
-                                "bilinear") > 0.1
+    mask_f = jax.image.resize(mask_nchw, (*mask_nchw.shape[:2], lh, lw),
+                              "bilinear")
+    mask_lat = mask_f > 0.1
+    if nine_ch:
+        # Masked-image latents: the known content with the hole zeroed out
+        # (reference masks in pixel space before encoding, :594-600).
+        masked_img = image_nchw * (1.0 - (jax.image.resize(
+            mask_nchw, (*mask_nchw.shape[:2], *image_nchw.shape[-2:]),
+            "bilinear") > 0.5).astype(image_nchw.dtype))
+        masked_lat0 = image_to_latent(model, masked_img)
+        mask_ch = mask_lat.astype(lat0.dtype)
 
     timesteps = schedulers.pndm_skip_timesteps(sched, strength)
     rng = jax.random.PRNGKey(seed)
@@ -209,19 +230,25 @@ def diffusion_inpaint(model: DiffusionModel, image_nchw: jnp.ndarray,
     for t_host in timesteps:
         t = jnp.int32(t_host)
         lat_in = jnp.concatenate([latents] * 2, axis=0)
+        if nine_ch:  # [latents | mask | masked latents] (:607)
+            extra = jnp.concatenate([mask_ch, masked_lat0], axis=1)
+            lat_in = jnp.concatenate(
+                [lat_in, jnp.concatenate([extra] * 2, axis=0)], axis=1)
         ctx_b = jnp.repeat(ctx, latents.shape[0], axis=0)
         eps = model.unet_apply(model.unet_params, lat_in, t, ctx_b)
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         eps = eps_u + guidance_scale * (eps_c - eps_u)
         latents = schedulers.ddim_step(sched, eps, t, latents)
-        # Re-impose known content outside the mask at the matching noise level.
-        prev_t = t - sched.step_ratio()
-        rng, sub = jax.random.split(rng)
-        known = schedulers.add_noise(sched, lat0,
-                                     jax.random.normal(sub, lat0.shape),
-                                     jnp.maximum(prev_t, 0))
-        known = jnp.where(prev_t >= 0, known, lat0)
-        latents = jnp.where(mask_lat, latents, known)
+        if not nine_ch:
+            # Re-impose known content outside the mask at the matching
+            # noise level.
+            prev_t = t - sched.step_ratio()
+            rng, sub = jax.random.split(rng)
+            known = schedulers.add_noise(sched, lat0,
+                                         jax.random.normal(sub, lat0.shape),
+                                         jnp.maximum(prev_t, 0))
+            known = jnp.where(prev_t >= 0, known, lat0)
+            latents = jnp.where(mask_lat, latents, known)
 
     return latent_to_image(model, latents)
 

@@ -36,6 +36,47 @@ def _default_model():
     return _DEFAULT_MODEL
 
 
+def _resolve_model(model=None, clip=None, vae=None, model_id="",
+                   pipeline_mode="Fast (Warp + Inpaint)"):
+    """Model resolution order (reference stereodiffusion_nodes.py:229-252):
+
+    1. an already-built DiffusionModel bundle (duck-typed: has unet_apply);
+    2. connected ComfyUI/torch MODEL+CLIP+VAE via `from_torch_modules`;
+    3. a model_id: flax-diffusers adapter, then a local diffusers-format
+       directory ported into the native flax SD modules;
+    4. the offline toy model.
+    """
+    if model is not None and hasattr(model, "unet_apply"):
+        return model
+    if model is not None:
+        from ..diffusion.adapters import from_torch_modules
+
+        unet = getattr(getattr(model, "model", model), "diffusion_model",
+                       model)
+        tokenizer = getattr(clip, "tokenizer", clip)
+        text_enc = getattr(clip, "cond_stage_model", clip)
+        return from_torch_modules(unet, vae, tokenizer, text_enc)
+    if model_id:
+        try:
+            from ..diffusion.adapters import from_flax_diffusers
+
+            return from_flax_diffusers(model_id)
+        except Exception:
+            pass
+        import os
+
+        if os.path.isdir(model_id):
+            try:
+                from ..diffusion.porting import load_sd_from_diffusers_dir
+
+                return load_sd_from_diffusers_dir(model_id)
+            except Exception as e:
+                print(f"[comfystereo-tpu] could not port {model_id}: {e}")
+        print(f"[comfystereo-tpu] model '{model_id}' unavailable "
+              "(no local cache); falling back to the offline toy model")
+    return _default_model()
+
+
 class StereoDiffusionNode:
     @classmethod
     def INPUT_TYPES(cls):
@@ -45,35 +86,47 @@ class StereoDiffusionNode:
                 "depth_map": ("IMAGE",),
                 "scale_factor": ("FLOAT", {"default": 5.0, "min": 1.0,
                                            "max": 20.0, "step": 0.5}),
-                "direction": (["uni", "bi"],),
-                "deblur": ("BOOLEAN", {"default": True}),
+                "direction": (["uni", "bi"], {"default": "uni"}),
+                "deblur": ("BOOLEAN", {"default": False}),
                 "pipeline_mode": (list(PIPELINE_MODES),
                                   {"default": "Fast (Warp + Inpaint)"}),
-                "guidance_scale": ("FLOAT", {"default": 7.5, "min": 0.0,
+                "guidance_scale": ("FLOAT", {"default": 3.0, "min": 0.0,
                                              "max": 20.0, "step": 0.5}),
-                "num_inference_steps": ("INT", {"default": 50, "min": 1,
-                                                "max": 200}),
-                "seed": ("INT", {"default": 0, "min": 0, "max": 2 ** 31 - 1}),
+                "num_inference_steps": ("INT", {"default": 20, "min": 1,
+                                                "max": 100, "step": 1}),
+                "seed": ("INT", {"default": 1337, "min": 0,
+                                 "max": 0xffffffffffffffff,
+                                 "control_after_generate": True}),
             },
             "optional": {
-                "null_text_optimization": ("BOOLEAN", {"default": False}),
-                "denoise_strength": ("FLOAT", {"default": 0.75, "min": 0.1,
+                "null_text_optimization": ("BOOLEAN", {"default": True}),
+                "denoise_strength": ("FLOAT", {"default": 0.6, "min": 0.1,
                                                "max": 1.0, "step": 0.05}),
-                "prompt": ("STRING", {"default": ""}),
+                "model": ("MODEL",),
+                "clip": ("CLIP",),
+                "vae": ("VAE",),
+                "model_id": ("STRING",
+                             {"default": "runwayml/stable-diffusion-v1-5"}),
+                "inpaint_model_id": (
+                    "STRING",
+                    {"default": "runwayml/stable-diffusion-inpainting"}),
+                "prompt": ("STRING", {"default": "", "multiline": True}),
             },
         }
 
     RETURN_TYPES = ("IMAGE", "IMAGE", "IMAGE")
     RETURN_NAMES = ("stereo_pair", "left_image", "right_image")
     FUNCTION = "generate_stereo"
-    CATEGORY = "stereo"
+    CATEGORY = "image/stereo"
 
     def generate_stereo(self, image, depth_map, scale_factor=5.0,
-                        direction="uni", deblur=True,
+                        direction="uni", deblur=False,
                         pipeline_mode="Fast (Warp + Inpaint)",
-                        guidance_scale=7.5, num_inference_steps=50, seed=0,
-                        null_text_optimization=False, denoise_strength=0.75,
-                        prompt="", model=None):
+                        guidance_scale=3.0, num_inference_steps=20,
+                        seed=1337, null_text_optimization=True,
+                        denoise_strength=0.6, model=None, clip=None,
+                        vae=None, model_id="", inpaint_model_id="",
+                        prompt=""):
         import jax.numpy as jnp
 
         img = _to_numpy(image).astype(np.float32)
@@ -85,7 +138,10 @@ class StereoDiffusionNode:
                   + 0.1140 * dm[..., 2]) if dm.shape[-1] == 3 else dm[..., 0]
         if dm.ndim == 2:
             dm = dm[None]
-        dmodel = model or _default_model()
+        # Fast mode prefers the inpainting checkpoint (reference :341-361).
+        wanted_id = (inpaint_model_id
+                     if pipeline_mode != "Standard (DDIM)" else model_id)
+        dmodel = _resolve_model(model, clip, vae, wanted_id, pipeline_mode)
 
         lefts, rights = [], []
         if pipeline_mode == "Standard (DDIM)":

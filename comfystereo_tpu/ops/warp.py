@@ -10,25 +10,24 @@ reference's ModernGL mesh rasterizer (:453-689) implements the same semantics
 with OpenGL triangles; this module is the TPU-native equivalent of both.
 
 TPU-native design (measured on v5e):
-1.  NO scatter: for divergence > 0 the offset is monotone in depth, so the
-    z-buffer winner at column c is the FIRST segment whose destination span
-    crosses c. With M_i = max(dest_i, dest_i+1) for connected segments and
-    P = prefix-max(M), the winner is min{i : P_i > c} — a binary search.
-2.  Bounded displacement: |i(c) - c| <= D + 2 where D = |divergence_px| +
-    |separation_px| (a segment further away either cannot reach c or provably
-    leaves c in a gap), so the search runs in a +-(D+2) window — log2(2D)
-    rounds instead of log2(W).
-3.  NO scalarized gathers: XLA's gather is ~24 ms per 1080p plane on TPU, so
-    every take-along-axis goes through the Pallas vreg-gather
-    (`pallas.bounded_take_along_w`, ~0.26 ms) and every gather-at-
-    nearest-valid-index is re-expressed as an associative carry scan
+1.  NO scatter: the z-buffer scatter is INVERTED into a per-column windowed
+    scan. Bounded displacement — a segment covering column c satisfies
+    i = c - interp_offset with interp_offset inside the row's offset range —
+    means candidates live in a window d = i - c of [-(D+2), D+2], and the
+    ACTUAL trip count shrinks to the block's measured offset range
+    (floor(-off_max)-1 .. ceil(-off_min)), a dynamic-bound fori_loop.
+    Scanning candidates in ascending index order with the reference's strict
+    `z > best + 1e-6` replacement reproduces the sequential scatter's
+    winners, ties, coverage, and gap mask EXACTLY — including backward folds
+    and either divergence sign (round-1's first-crossing deviation removed).
+2.  The window walk uses one dynamic roll to position the packed segment
+    arrays, then a static 1-lane roll per iteration — no gathers in the
+    z-max loop.
+3.  NO scalarized gathers elsewhere: XLA's gather is ~24 ms per 1080p plane
+    on TPU, so bilinear taps go through the Pallas vreg-gather
+    (`pallas.bounded_take_along_w`, ~0.26 ms) and gather-at-nearest-valid-
+    index is re-expressed as an associative carry scan
     (scan.forward_fill / backward_fill).
-
-Known deviation from the scatter reference (documented, SSIM-level): a segment
-chain that folds backward behind a disconnected jump can re-cover columns the
-first-crossing rule reports as gaps; the reference renders those folds (they
-lose the z-test wherever anything else covers them). Gap-fill interpolation
-makes the difference visually negligible.
 """
 from __future__ import annotations
 
@@ -69,41 +68,18 @@ def _bilinear_sample_w(image: jnp.ndarray, src_x: jnp.ndarray,
     return jnp.moveaxis(out, -3, -1)
 
 
-def _windowed_first_above(prefix_reach: jnp.ndarray, max_disp: int
-                          ) -> jnp.ndarray:
-    """min{i : prefix_reach[i] > c} for integer queries c = 0..W-1, searched
-    in the window [c - max_disp, c + max_disp] (the answer is provably there
-    or there is no covering segment — see module docstring)."""
-    *lead, m = prefix_reach.shape
-    w = m + 1
-    cols = jnp.arange(w, dtype=jnp.int32)
-    colsf = cols.astype(jnp.float32)
-    lo = jnp.broadcast_to(jnp.maximum(cols - max_disp, 0), lead + [w])
-    hi = jnp.broadcast_to(jnp.minimum(cols + max_disp, m), lead + [w])
-    queries = jnp.broadcast_to(colsf, lead + [w])
-    rounds = max(1, math.ceil(math.log2(2 * max_disp + 2))) + 1
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = (lo + hi) // 2
-        v = bounded_take_along_w(prefix_reach, jnp.clip(mid, 0, m - 1),
-                                 max_disp + 2)
-        go_right = v <= queries
-        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
-
-    lo, hi = jax.lax.fori_loop(0, rounds, body, (lo, hi))
-    # If the window contained no crossing, the search converges to its upper
-    # clamp; validate by re-reading P at the result (a crossing beyond the
-    # window provably cannot cover c, so reporting "gap" there is correct).
-    pv = bounded_take_along_w(prefix_reach, jnp.clip(lo, 0, m - 1),
-                              max_disp + 2)
-    found = (lo < m) & (pv > queries)
-    return lo, found
-
-
 def _forward_warp_monotone(image, norm_depth, offset, gradient_threshold,
                            max_stretch, max_disp: int):
-    """Core warp assuming offset is increasing in depth (divergence >= 0).
+    """Exact z-buffer forward warp, any offset sign/shape.
+
+    Reproduces the reference scatter loop (:365-391) bit-for-bit by
+    INVERTING it: for every output column c, scan the candidate segments
+    i = c + d over the bounded displacement window d in [-(D+2), D+2]
+    in ascending-i order, keep the segment with max interpolated depth
+    (strict 1e-6 improvement, so ties resolve to the lowest index exactly
+    like the sequential scatter). Coverage (and hence the gap mask) is the
+    exact union of segment spans — folds behind disconnected jumps render
+    correctly (round-1 deviation removed).
 
     image: [B, H, W, C]; norm_depth, offset: [B, H, W]; max_disp: static
     bound on |offset| in pixels (+ margin).
@@ -111,54 +87,77 @@ def _forward_warp_monotone(image, norm_depth, offset, gradient_threshold,
     """
     b, h, w = offset.shape
     cols = jnp.arange(w, dtype=jnp.float32)
+    colsi = jnp.arange(w, dtype=jnp.int32)
     dest = cols + offset                                     # [B,H,W]
 
-    # Segment connectivity (reference :339-340).
+    # Per-segment quantities, padded to length w (segment w-1 is invalid).
+    def segpad(x):
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, 1)])
+
     diff = jnp.abs(offset[..., 1:] - offset[..., :-1])
-    connected = diff < gradient_threshold                    # [B,H,W-1]
-
-    dest_l = dest[..., :-1]
-    dest_r = dest[..., 1:]
-    seg_max = jnp.maximum(dest_l, dest_r)
-    reach = jnp.where(connected, seg_max, _NEG_INF)
-    prefix_reach = scan.running_max(reach)                   # non-decreasing
-
-    idx, found = _windowed_first_above(prefix_reach, max_disp)
-    idx_c = jnp.minimum(idx, w - 2)
-
-    gd = max_disp + 2
-    dl = bounded_take_along_w(dest_l, idx_c, gd)
-    dr = bounded_take_along_w(dest_r, jnp.minimum(idx_c, w - 2), gd)
+    conn = segpad((diff < gradient_threshold).astype(jnp.float32))
+    dl = segpad(dest[..., :-1])
+    dr = segpad(dest[..., 1:])
     width = dr - dl
+    # Same f32 expression forms as the scatter loop (division, two-sided
+    # lerp) so winners match the oracle bit-for-bit, not just by tolerance.
     safe_width = jnp.where(jnp.abs(width) < 1e-4, 1.0, width)
-    queries = jnp.broadcast_to(cols, (b, h, w))
-    frac = (queries - dl) / safe_width                       # 0 at dl, 1 at dr
+    zl = segpad(norm_depth[..., :-1])
+    zr = segpad(norm_depth[..., 1:])
+    mstart = jnp.floor(jnp.minimum(dl, dr))
 
-    # Coverage: candidate validity is frac in [0, 1) half-open (:375) and the
-    # span renders at most max_stretch columns from floor(min(dl,dr)) (:365).
-    covered = found & (frac >= 0.0) & (frac < 1.0)
-    floor_start = jnp.floor(jnp.minimum(dl, dr))
-    stretch_ok = (queries - floor_start) < max_stretch
-    filled = covered & stretch_ok
+    # Dynamic displacement window from the actual offset range:
+    # interp_offset(c) = c - src in [min(offset), max(offset)], so the
+    # candidate index d = i - c lies in [-off_max - 1, -off_min].
+    r_static = max_disp + 2
+    off_min = jnp.min(offset)
+    off_max = jnp.max(offset)
+    d_lo = jnp.maximum(jnp.floor(-off_max - 1.0).astype(jnp.int32),
+                       -r_static)
+    d_hi = jnp.minimum(jnp.ceil(-off_min).astype(jnp.int32), r_static)
 
-    src = idx_c.astype(jnp.float32) + frac
-    nd_l = bounded_take_along_w(norm_depth, idx_c, gd)
-    nd_r = bounded_take_along_w(norm_depth, jnp.minimum(idx_c + 1, w - 1), gd)
-    z = nd_l * (1.0 - frac) + nd_r * frac
+    seg = jnp.stack([conn, dl, safe_width, zl, zr, mstart], axis=0)
+    seg0 = jnp.roll(seg, -d_lo, axis=-1)   # position c holds segment c+d_lo
 
+    def body(t, carry):
+        seg_t, zbest, src = carry
+        d = d_lo + t
+        conn_t, dl_t, sw_t, zl_t, zr_t, ms_t = (seg_t[j] for j in range(6))
+        i = colsi + d
+        frac = (cols - dl_t) / sw_t
+        zz = zl_t * (1.0 - frac) + zr_t * frac
+        valid = ((conn_t > 0.5) & (i >= 0) & (i <= w - 2)
+                 & (frac >= 0.0) & (frac < 1.0)
+                 & (cols - ms_t < max_stretch))
+        better = valid & (zz > zbest + 1e-6)
+        zbest = jnp.where(better, zz, zbest)
+        src = jnp.where(better, i.astype(jnp.float32) + frac, src)
+        return jnp.roll(seg_t, -1, axis=-1), zbest, src
+
+    init = (seg0, jnp.full((b, h, w), -1.0), jnp.full((b, h, w), -1.0))
+    _, z, src = jax.lax.fori_loop(0, d_hi - d_lo + 1, body, init)
+
+    filled = src >= 0.0
     gap = ~filled
 
     # --- Disocclusion fill (reference :393-438): interpolate source positions
     # between gap borders with sqrt bias toward the background (lower z) side.
-    # Nearest-border values come from carry scans, not gathers.
+    # Quirk preserved for bit parity: the reference's "right nearest" is a
+    # flipped cummax over DECREASING column indices (:399-404), which
+    # resolves to the row's RIGHTMOST filled column, not the nearest one.
     (left_src, left_z), has_l = scan.forward_fill((src, z), filled)
-    (right_src, right_z), has_r = scan.backward_fill((src, z), filled)
     ln = scan.nearest_true_left(filled)                      # -1 if none
-    rn = scan.nearest_true_right(filled)                     # W if none
 
-    colsf = queries
+    rn = jnp.max(jnp.where(filled, jnp.broadcast_to(colsi, (b, h, w)), -1),
+                 axis=-1, keepdims=True)                     # rightmost filled
+    rn_c = jnp.clip(rn, 0, w - 1)
+    right_src = jnp.take_along_axis(src, rn_c, axis=-1)
+    right_z = jnp.take_along_axis(z, rn_c, axis=-1)
+    has_r = colsi <= rn                                      # [B,H,W]
+
+    colsf = jnp.broadcast_to(cols, (b, h, w))
     left_dist = colsf - ln.astype(jnp.float32)
-    right_dist = rn.astype(jnp.float32) - colsf
+    right_dist = (rn - colsi).astype(jnp.float32)
     total = jnp.maximum(left_dist + right_dist, 1.0)
     t = left_dist / total
     t = jnp.where(~has_l, 1.0, t)
@@ -199,19 +198,13 @@ def _forward_warp_fused(image, norm_depth, offset, gradient_threshold,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "negative_divergence", "gradient_threshold", "max_stretch", "max_disp",
-    "impl"))
-def _forward_warp_jit(image, norm_depth, offset, negative_divergence: bool,
+    "gradient_threshold", "max_stretch", "max_disp", "impl"))
+def _forward_warp_jit(image, norm_depth, offset,
                       gradient_threshold: float, max_stretch: int,
                       max_disp: int, impl: str = "auto"):
-    if negative_divergence:
-        image = jnp.flip(image, axis=-2)
-        norm_depth = jnp.flip(norm_depth, axis=-1)
-        offset = -jnp.flip(offset, axis=-1)
-        warped, gap = _forward_warp_jit(
-            image, norm_depth, offset, False, gradient_threshold, max_stretch,
-            max_disp, impl)
-        return jnp.flip(warped, axis=-2), jnp.flip(gap, axis=-1)
+    # The exact windowed z-max handles either offset sign natively (no flip
+    # trick), so the scatter-order tie rule matches the oracle for negative
+    # divergence too.
     use_pallas = (impl == "pallas"
                   or (impl == "auto" and jax.default_backend() == "tpu"
                       and image.shape[-1] == 3))
@@ -246,5 +239,4 @@ def forward_warp(image: jnp.ndarray, depth: jnp.ndarray, divergence_px: float,
     max_disp = int(math.ceil(bound)) + 4
     return _forward_warp_jit(
         image.astype(jnp.float32), nd, offset,
-        bool(divergence_px < 0), float(gradient_threshold), int(max_stretch),
-        max_disp, impl)
+        float(gradient_threshold), int(max_stretch), max_disp, impl)

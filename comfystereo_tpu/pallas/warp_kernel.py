@@ -1,20 +1,31 @@
-"""Fused scanline forward-warp kernel (Pallas/Mosaic).
+"""Fused scanline forward-warp kernel (Pallas/Mosaic) — exact z-buffer.
 
-The entire monotone warp (ops/warp.py docstring) for a block of rows runs in
-one kernel with every intermediate resident in VMEM:
+The entire warp (ops/warp.py docstring) for a block of rows runs in one
+kernel with every intermediate resident in VMEM:
 
-    dest/connectivity -> prefix-max reach -> windowed binary search
-    -> coverage/frac/z -> gap border fills -> sqrt-bias gap interp
-    -> bilinear sample
+    dest/connectivity -> windowed z-max candidate scan -> gap border fills
+    -> sqrt-bias gap interp -> bilinear sample
+
+The candidate scan INVERTS the reference's scatter z-buffer
+(stereoimage_generation.py:365-391): for every output column c, walk the
+segments i = c + d over the displacement window in ascending-index order,
+keeping the max interpolated depth with the reference's strict
+`z > best + 1e-6` replacement. This reproduces the sequential scatter's
+winners, ties, coverage, and gap mask exactly — folds and either divergence
+sign included.
 
 Vectorization strategy: rows live on sublanes, image columns on lanes.
-  * neighbor access / prefix-max / border fills: log-step lane shifts
-    (static concat+slice, no gather);
-  * value-at-winner-index and bilinear taps: bounded-displacement vreg
-    gathers — for each 128-lane output vreg, gather from the (2K+1)
-    neighboring source vregs and mask-select (Mosaic's fast per-sublane
-    dynamic gather works within a single vreg);
-  * the binary search runs in a +-(max_disp) window, log2 rounds.
+  * the six per-segment arrays are PACKED along sublanes into one [6R, Wp]
+    buffer; one dynamic pltpu.roll positions it at the window start, then
+    each loop iteration advances with a static 1-lane cyclic roll — the
+    z-max loop contains no gathers;
+  * the trip count is DYNAMIC: the block's measured offset range
+    (floor(-off_max)-1 .. ceil(-off_min)) bounds the window, so smooth
+    depth regions cost a handful of iterations instead of 2*max_disp;
+  * border fills: log-step lane shifts; the reference's "right border" is
+    its flipped-cummax quirk = the row's RIGHTMOST filled column
+    (reference :399-404), a masked lane reduction here;
+  * bilinear taps: bounded-displacement vreg gathers.
 
 The XLA-composed implementation in ops/warp.py keeps identical semantics and
 serves as the non-TPU fallback and the test oracle for this kernel.
@@ -22,7 +33,6 @@ serves as the non-TPU fallback and the test oracle for this kernel.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -53,31 +63,12 @@ def _shift_right(x, s, fill):
     return jnp.concatenate([pad, x[:, :-s]], axis=1)
 
 
-def _prefix_max(x, wp):
-    s = 1
-    while s < wp:
-        x = jnp.maximum(x, _shift_right(x, s, _NEG_INF))
-        s *= 2
-    return x
-
-
 def _forward_fill(values, has, wp):
     """values: tuple of [R, Wp]; propagate last has=True entry rightward."""
     s = 1
     while s < wp:
         sh = [_shift_right(v, s, 0.0) for v in values]
         sh_has = _shift_right(has.astype(jnp.float32), s, 0.0) > 0.5
-        values = tuple(jnp.where(has, v, sv) for v, sv in zip(values, sh))
-        has = has | sh_has
-        s *= 2
-    return values, has
-
-
-def _backward_fill(values, has, wp):
-    s = 1
-    while s < wp:
-        sh = [_shift_left(v, s, 0.0) for v in values]
-        sh_has = _shift_left(has.astype(jnp.float32), s, 0.0) > 0.5
         values = tuple(jnp.where(has, v, sv) for v, sv in zip(values, sh))
         has = has | sh_has
         s *= 2
@@ -104,10 +95,9 @@ def _vreg_gather(vals, idx, k, nvreg):
 
 def _warp_kernel(cols_ref, off_ref, nd_ref, r_ref, g_ref, b_ref,
                  or_ref, og_ref, ob_ref, gap_ref, *,
-                 w: int, wp: int, gradient_threshold: float,
+                 w: int, wp: int, rblock: int, gradient_threshold: float,
                  max_stretch: int, max_disp: int):
     nvreg = wp // _LANES
-    k = _cdiv(max_disp + _LANES, _LANES)
     k2 = _cdiv(max_disp + 2 * _LANES, _LANES)
 
     off = off_ref[:]
@@ -123,50 +113,74 @@ def _warp_kernel(cols_ref, off_ref, nd_ref, r_ref, g_ref, b_ref,
     dest_next = _shift_left(dest, 1, _NEG_INF)
     nd_next = _shift_left(nd, 1, 0.0)
 
-    conn = (jnp.abs(off_next - off) < gradient_threshold) & (cols_i < w - 1)
-    reach = jnp.where(conn, jnp.maximum(dest, dest_next), _NEG_INF)
-    prefix = _prefix_max(reach, wp)
-
-    # Windowed binary search: idx(c) = min{i : prefix[i] > c}, i in [0, w-2].
-    lo = jnp.maximum(cols_i - max_disp, 0)
-    hi = jnp.minimum(cols_i + max_disp, w - 1)
-    rounds = max(1, math.ceil(math.log2(2 * max_disp + 2))) + 1
-    for _ in range(rounds):
-        mid = (lo + hi) // 2
-        v = _vreg_gather(prefix, jnp.clip(mid, 0, w - 2), k, nvreg)
-        go = v <= cols
-        lo = jnp.where(go, mid + 1, lo)
-        hi = jnp.where(go, hi, mid)
-    pv = _vreg_gather(prefix, jnp.clip(lo, 0, w - 2), k, nvreg)
-    found = (lo <= w - 2) & (pv > cols)
-    idx = jnp.minimum(lo, w - 2)
-
-    dl = _vreg_gather(dest, idx, k, nvreg)
-    dr = _vreg_gather(dest_next, idx, k, nvreg)
-    ndl = _vreg_gather(nd, idx, k, nvreg)
-    ndr = _vreg_gather(nd_next, idx, k, nvreg)
-
+    in_row = cols_i < w - 1
+    conn = (jnp.abs(off_next - off) < gradient_threshold) & in_row
+    dl = dest
+    dr = dest_next
     width = dr - dl
     safe_w = jnp.where(jnp.abs(width) < 1e-4, 1.0, width)
-    frac = (cols - dl) / safe_w
-    covered = found & (frac >= 0.0) & (frac < 1.0)
-    stretch_ok = (cols - jnp.floor(jnp.minimum(dl, dr))) < max_stretch
-    filled = covered & stretch_ok & (cols_i < w)
+    mstart = jnp.floor(jnp.minimum(dl, dr))
 
-    src = idx.astype(jnp.float32) + frac
-    z = ndl * (1.0 - frac) + ndr * frac
+    # Dynamic displacement window from the block's measured offset range
+    # (padded lanes hold offset 0, which only widens the window to include
+    # d = -1..0 — harmless).
+    r_static = max_disp + 2
+    valid_off = jnp.where(cols_i < w, off, 0.0)
+    d_lo = jnp.maximum(
+        jnp.floor(-jnp.max(valid_off) - 1.0).astype(jnp.int32), -r_static)
+    d_hi = jnp.minimum(
+        jnp.ceil(-jnp.min(valid_off)).astype(jnp.int32), r_static)
+
+    packed = jnp.concatenate(
+        [conn.astype(jnp.float32), dl, safe_w, nd, nd_next, mstart], axis=0)
+    shift0 = jnp.mod(-d_lo, wp)
+    packed = pltpu.roll(packed, shift0, axis=1)  # lane c holds segment c+d_lo
+
+    def body(t, carry):
+        seg, zbest, src = carry
+        d = d_lo + t
+        conn_t = seg[0 * rblock:1 * rblock]
+        dl_t = seg[1 * rblock:2 * rblock]
+        sw_t = seg[2 * rblock:3 * rblock]
+        zl_t = seg[3 * rblock:4 * rblock]
+        zr_t = seg[4 * rblock:5 * rblock]
+        ms_t = seg[5 * rblock:6 * rblock]
+        i = cols_i + d
+        frac = (cols - dl_t) / sw_t
+        zz = zl_t * (1.0 - frac) + zr_t * frac
+        valid = ((conn_t > 0.5) & (i >= 0) & (i <= w - 2)
+                 & (frac >= 0.0) & (frac < 1.0)
+                 & (cols - ms_t < max_stretch))
+        better = valid & (zz > zbest + 1e-6)
+        zbest = jnp.where(better, zz, zbest)
+        src = jnp.where(better, i.astype(jnp.float32) + frac, src)
+        return pltpu.roll(seg, wp - 1, axis=1), zbest, src
+
+    init = (packed, jnp.full((rblock, wp), -1.0, jnp.float32),
+            jnp.full((rblock, wp), -1.0, jnp.float32))
+    _, z, src = jax.lax.fori_loop(0, d_hi - d_lo + 1, body, init)
+
+    filled = src >= 0.0
     gap = (~filled) & (cols_i < w)
 
-    # Gap fill: nearest-border src/z/col via log-step fills.
+    # Gap fill. Left border: nearest filled (log-step forward fill). Right
+    # border: the reference's flipped-cummax = the row's rightmost filled
+    # column (masked lane reductions).
     (l_src, l_z, l_col), has_l = _forward_fill((src, z, cols), filled, wp)
-    (r_src, r_z, r_col), has_r = _backward_fill((src, z, cols), filled, wp)
+    rn = jnp.max(jnp.where(filled, cols, -1.0), axis=1, keepdims=True)
+    at_rn = filled & (cols == rn)
+    r_src = jnp.max(jnp.where(at_rn, src, -1.0), axis=1, keepdims=True)
+    r_z = jnp.max(jnp.where(at_rn, z, -1.0), axis=1, keepdims=True)
+    has_r = cols <= rn
+    # Oracle gathers at clip(rn, 0): for empty rows that is column 0's
+    # (unfilled) -1 values — matched by the -1 fill of the masked max.
+
     ld = cols - l_col
-    rd = r_col - cols
+    rd = rn - cols
     total = jnp.maximum(ld + rd, 1.0)
     t = ld / total
     t = jnp.where(~has_l, 1.0, t)
     t = jnp.where(~has_r, 0.0, t)
-    t = jnp.clip(t, 0.0, 1.0)
     left_is_bg = l_z < r_z
     tb = jnp.where(left_is_bg, jnp.sqrt(t), 1.0 - jnp.sqrt(1.0 - t))
     gap_src = l_src * (1.0 - tb) + r_src * tb
@@ -192,7 +206,7 @@ def _warp_kernel(cols_ref, off_ref, nd_ref, r_ref, g_ref, b_ref,
 def warp_scanline(offset, nd, red, green, blue, *, w: int,
                   gradient_threshold: float, max_stretch: int, max_disp: int,
                   interpret: bool = False):
-    """Fused forward warp over [N, W] row-planes (monotone, divergence>=0).
+    """Fused exact forward warp over [N, W] row-planes (any offset sign).
 
     offset/nd/red/green/blue: [N, W] float32. Returns (r, g, b, gap) [N, W].
     """
@@ -212,7 +226,7 @@ def warp_scanline(offset, nd, red, green, blue, *, w: int,
     cols_spec = pl.BlockSpec((rblock, wp), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        functools.partial(_warp_kernel, w=w, wp=wp,
+        functools.partial(_warp_kernel, w=w, wp=wp, rblock=rblock,
                           gradient_threshold=gradient_threshold,
                           max_stretch=max_stretch, max_disp=max_disp),
         out_shape=tuple(jax.ShapeDtypeStruct((npad, wp), jnp.float32)
