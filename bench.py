@@ -225,10 +225,15 @@ def run_full(oracle_width=512):
     sync(out)
     fps = len(cfgs) * iters / (time.perf_counter() - t0)
     ssim, _ = _validate(cfgs[1], img, dm, oracle_width)
+    # Bit-parity check: the exact integrator equals the CPU oracle in uint8.
+    import dataclasses as _dc
+    ssim_exact, _ = _validate(_dc.replace(cfgs[1], polylines_exact=True),
+                              img, dm, min(oracle_width, 256))
     results.append({"config": "2_1080p_polylines_sweep",
                     "fps_per_chip": round(fps, 2),
                     "sweep_points": len(cfgs),
-                    "fill_region_ssim": round(ssim, 5)})
+                    "fill_region_ssim": round(ssim, 5),
+                    "exact_mode_ssim": round(ssim_exact, 5)})
 
     # --- Config 3: 720p batched video frames, hybrid_edge, top-bottom -------
     B = 12

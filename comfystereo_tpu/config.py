@@ -95,10 +95,25 @@ class StereoConfig:
     gradient_threshold: float = 1.5
     max_stretch: int = 8
 
+    # Exact sub-interval integration for polylines: bit-parity with the
+    # reference scanline renderer (ops/polylines_exact.py) — the validation
+    # mode (~1 s/frame at 1080p). False (default) selects the fused
+    # supersampled Pallas kernel: ~28 ms/frame at 1080p, parity within a few
+    # LSB at polylines_samples samples/pixel.
+    polylines_exact: bool = False
     # Supersampling rate for the TPU polylines renderer (samples per output px).
     polylines_samples: int = 8
 
+    # Color-plane dtype for the gpu_warp path. "bfloat16" halves HBM traffic
+    # on the bandwidth-bound color reads/writes (geometry/z math stays f32);
+    # outputs stay within ~1 LSB of f32 after uint8 quantization.
+    color_dtype: str = "float32"
+
     def __post_init__(self):
+        if self.color_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"unknown color_dtype {self.color_dtype!r}; "
+                "expected 'float32' or 'bfloat16'")
         if self.fill_technique not in FILL_TECHNIQUES:
             raise ValueError(
                 f"unknown fill_technique {self.fill_technique!r}; "

@@ -84,17 +84,52 @@ def from_flax_diffusers(model_id: str = "runwayml/stable-diffusion-v1-5",
     return get_or_load_model(("flax_diffusers", model_id, str(dtype)), load)
 
 
-def from_torch_modules(unet, vae, tokenizer, text_encoder) -> DiffusionModel:
-    """Adapter for torch (e.g. ComfyUI-loaded) modules: runs the torch UNet
-    and VAE on the host CPU while keeping the JAX pipeline contract. Intended
-    for interoperability, not speed (the TPU path needs flax weights).
+def from_torch_modules(unet, vae, tokenizer, text_encoder,
+                       port_weights: bool = True,
+                       unet_cfg=None, vae_cfg=None) -> DiffusionModel:
+    """Adapter for torch (e.g. ComfyUI-loaded) modules.
 
-    This is the analogue of the reference's ComfyUIModelWrapper
-    (model_wrappers.py:352-485): same four-adapter bundle, but exposed as
-    pure functions.
+    Preferred route (`port_weights=True`): PORT the torch weights into the
+    native flax SD modules (`porting.port_torch_unet/vae` — understands both
+    diffusers and LDM/ComfyUI key layouts). The returned bundle is then pure
+    JAX: it runs on the TPU and is fully differentiable, so null-text
+    optimization works — the TPU-native equivalent of the reference's
+    functional_call gradient mode (model_wrappers.py:268-340).
+
+    Fallback (port fails — e.g. a non-SD architecture): host-callback mode
+    that runs the torch modules on CPU under no_grad, keeping the JAX
+    pipeline contract for inference-only use. This is the analogue of the
+    reference's ComfyUIModelWrapper (model_wrappers.py:352-485).
     """
     import torch
     import jax.numpy as jnp
+
+    if port_weights:
+        try:
+            from .porting import build_sd_model, port_torch_unet, \
+                port_torch_vae
+
+            unet_params, unet_cfg = port_torch_unet(unet, cfg=unet_cfg)
+            vae_params = None
+            if vae is not None and hasattr(vae, "state_dict"):
+                vae_params, vae_cfg = port_torch_vae(vae, cfg=vae_cfg)
+
+            @torch.no_grad()
+            def encode_text(text: str):
+                tok = tokenizer(
+                    [text], padding="max_length",
+                    max_length=getattr(tokenizer, "model_max_length", 77),
+                    truncation=True, return_tensors="pt")
+                return jnp.asarray(text_encoder(tok.input_ids)[0].numpy())
+
+            text_enc = (EmbeddingCache(encode_text)
+                        if tokenizer is not None and text_encoder is not None
+                        else None)
+            return build_sd_model(unet_cfg, vae_cfg, unet_params, vae_params,
+                                  text_encode=text_enc)
+        except Exception as e:
+            print(f"[comfystereo-tpu] weight port unavailable ({e}); "
+                  "falling back to host-callback torch execution (no_grad)")
 
     @torch.no_grad()
     def unet_apply(_params, latents, t, context, **__):

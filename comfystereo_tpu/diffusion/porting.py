@@ -322,6 +322,257 @@ def load_sd_from_diffusers_dir(model_dir: str, unet_cfg=None, vae_cfg=None,
                           text_encode=text_encode, dtype=dtype)
 
 
+# ---------------------------------------------------------------------------
+# LDM / ComfyUI checkpoint layout -> diffusers layout
+# ---------------------------------------------------------------------------
+
+_LDM_RESNET = {"in_layers.0": "norm1", "in_layers.2": "conv1",
+               "emb_layers.1": "time_emb_proj", "out_layers.0": "norm2",
+               "out_layers.3": "conv2", "skip_connection": "conv_shortcut"}
+_LDM_VAE_RESNET = {"norm1": "norm1", "conv1": "conv1", "norm2": "norm2",
+                   "conv2": "conv2", "nin_shortcut": "conv_shortcut"}
+_LDM_VAE_ATTN = {"norm": "group_norm", "q": "to_q", "k": "to_k",
+                 "v": "to_v", "proj_out": "to_out.0"}
+
+
+def _map_ldm_resnet(rest: str) -> str:
+    for old, new in _LDM_RESNET.items():
+        if rest.startswith(old + "."):
+            return new + rest[len(old):]
+    return rest
+
+
+def ldm_unet_to_diffusers(state_dict: Mapping[str, Any],
+                          num_blocks: int = 4, layers_per_block: int = 2
+                          ) -> Dict[str, Any]:
+    """Convert an LDM/ComfyUI `UNetModel` state_dict (input_blocks /
+    middle_block / output_blocks naming, as ComfyUI's diffusion_model
+    exposes) to the diffusers key layout the flax port consumes.
+
+    Mirrors the public diffusers conversion convention; the reference reaches
+    the same models through ComfyUI wrappers (model_wrappers.py:240-349).
+    """
+    out: Dict[str, Any] = {}
+    per = layers_per_block + 1
+    for key, v in state_dict.items():
+        if key.startswith("model.diffusion_model."):
+            key = key[len("model.diffusion_model."):]
+        if key.startswith("time_embed.0."):
+            out["time_embedding.linear_1." + key.split(".", 2)[2]] = v
+        elif key.startswith("time_embed.2."):
+            out["time_embedding.linear_2." + key.split(".", 2)[2]] = v
+        elif key.startswith("input_blocks.0.0."):
+            out["conv_in." + key[len("input_blocks.0.0."):]] = v
+        elif key.startswith("input_blocks."):
+            parts = key.split(".")
+            n, mod = int(parts[1]), parts[2]
+            rest = ".".join(parts[3:])
+            blk, j = (n - 1) // per, (n - 1) % per
+            if j == layers_per_block:  # downsampler slot
+                out[f"down_blocks.{blk}.downsamplers.0.conv."
+                    + rest.replace("op.", "")] = v
+            elif mod == "0":
+                out[f"down_blocks.{blk}.resnets.{j}."
+                    + _map_ldm_resnet(rest)] = v
+            else:
+                out[f"down_blocks.{blk}.attentions.{j}." + rest] = v
+        elif key.startswith("middle_block."):
+            parts = key.split(".")
+            mod = parts[1]
+            rest = ".".join(parts[2:])
+            if mod == "0":
+                out["mid_block.resnets.0." + _map_ldm_resnet(rest)] = v
+            elif mod == "1":
+                out["mid_block.attentions.0." + rest] = v
+            else:
+                out["mid_block.resnets.1." + _map_ldm_resnet(rest)] = v
+        elif key.startswith("output_blocks."):
+            parts = key.split(".")
+            n, mod = int(parts[1]), parts[2]
+            rest = ".".join(parts[3:])
+            blk, j = n // per, n % per
+            if mod == "0":
+                out[f"up_blocks.{blk}.resnets.{j}."
+                    + _map_ldm_resnet(rest)] = v
+            elif rest.startswith("conv.") or ".conv." in f".{rest}":
+                out[f"up_blocks.{blk}.upsamplers.0." + rest] = v
+            else:
+                out[f"up_blocks.{blk}.attentions.{j}." + rest] = v
+        elif key.startswith("out.0."):
+            out["conv_norm_out." + key[len("out.0."):]] = v
+        elif key.startswith("out.2."):
+            out["conv_out." + key[len("out.2."):]] = v
+        # label_emb and friends (SDXL-only) are skipped.
+    return out
+
+
+def ldm_vae_to_diffusers(state_dict: Mapping[str, Any],
+                         num_blocks: int = 4) -> Dict[str, Any]:
+    """Convert an LDM/ComfyUI AutoencoderKL state_dict (encoder.down /
+    decoder.up naming) to the diffusers layout. Decoder up-block order is
+    REVERSED between the two conventions."""
+    out: Dict[str, Any] = {}
+
+    def attn(rest: str) -> str:
+        head = rest.split(".", 1)
+        return _LDM_VAE_ATTN.get(head[0], head[0]) + (
+            "." + head[1] if len(head) > 1 else "")
+
+    def resnet(rest: str) -> str:
+        head, _, tail = rest.partition(".")
+        return _LDM_VAE_RESNET.get(head, head) + ("." + tail if tail else "")
+
+    for key, v in state_dict.items():
+        if key.startswith("first_stage_model."):
+            key = key[len("first_stage_model."):]
+        parts = key.split(".")
+        if key.startswith(("quant_conv.", "post_quant_conv.")):
+            out[key] = v
+        elif parts[0] in ("encoder", "decoder"):
+            side = parts[0]
+            if parts[1] == "conv_in" or parts[1] == "conv_out":
+                out[key] = v
+            elif parts[1] == "norm_out":
+                out[f"{side}.conv_norm_out." + ".".join(parts[2:])] = v
+            elif parts[1] == "mid":
+                mod = parts[2]
+                rest = ".".join(parts[3:])
+                name = {"block_1": "resnets.0", "attn_1": "attentions.0",
+                        "block_2": "resnets.1"}[mod]
+                mapped = attn(rest) if mod == "attn_1" else resnet(rest)
+                out[f"{side}.mid_block.{name}." + mapped] = v
+            elif parts[1] == "down":
+                i = int(parts[2])
+                if parts[3] == "downsample":
+                    out[f"encoder.down_blocks.{i}.downsamplers.0."
+                        + ".".join(parts[4:])] = v
+                else:
+                    j = int(parts[4])
+                    out[f"encoder.down_blocks.{i}.resnets.{j}."
+                        + resnet(".".join(parts[5:]))] = v
+            elif parts[1] == "up":
+                i = num_blocks - 1 - int(parts[2])  # reversed order
+                if parts[3] == "upsample":
+                    out[f"decoder.up_blocks.{i}.upsamplers.0."
+                        + ".".join(parts[4:])] = v
+                else:
+                    j = int(parts[4])
+                    out[f"decoder.up_blocks.{i}.resnets.{j}."
+                        + resnet(".".join(parts[5:]))] = v
+    return out
+
+
+def looks_like_ldm(state_dict: Mapping[str, Any]) -> bool:
+    return any(k.startswith(("input_blocks.", "model.diffusion_model.",
+                             "middle_block."))
+               for k in state_dict)
+
+
+def infer_unet_config(diffusers_sd: Mapping[str, Any]):
+    """SDUNetConfig from a diffusers-layout state_dict's shapes. Head counts
+    are not recoverable from shapes; SD1.x uses 8 heads, SD2.x (1024-d
+    context) uses 64-d heads (model_wrappers.py:394-417 detects the family
+    the same way)."""
+    from .sd_unet import SDUNetConfig
+
+    def shape(k):
+        v = diffusers_sd[k]
+        return tuple(v.shape)
+
+    in_ch = shape("conv_in.weight")[1]
+    blocks = []
+    i = 0
+    while f"down_blocks.{i}.resnets.0.conv1.weight" in diffusers_sd:
+        blocks.append(shape(f"down_blocks.{i}.resnets.0.conv1.weight")[0])
+        i += 1
+    layers = 0
+    while f"down_blocks.0.resnets.{layers}.conv1.weight" in diffusers_sd:
+        layers += 1
+    ctx = shape(
+        "down_blocks.0.attentions.0.transformer_blocks.0.attn2.to_k.weight"
+    )[1]
+    if ctx >= 1024:
+        heads = tuple(ch // 64 for ch in blocks)
+    else:
+        heads = 8
+    return SDUNetConfig(in_channels=in_ch,
+                        out_channels=shape("conv_out.weight")[0],
+                        block_out_channels=tuple(blocks),
+                        layers_per_block=layers,
+                        cross_attention_dim=ctx,
+                        attention_head_dim=heads)
+
+
+def infer_vae_config(diffusers_sd: Mapping[str, Any]):
+    from .sd_vae import SDVAEConfig
+
+    blocks = []
+    i = 0
+    while f"encoder.down_blocks.{i}.resnets.0.conv1.weight" in diffusers_sd:
+        blocks.append(
+            tuple(diffusers_sd[f"encoder.down_blocks.{i}.resnets.0."
+                               "conv1.weight"].shape)[0])
+        i += 1
+    layers = 0
+    while f"encoder.down_blocks.0.resnets.{layers}.conv1.weight" \
+            in diffusers_sd:
+        layers += 1
+    lat = tuple(diffusers_sd["post_quant_conv.weight"].shape)[1]
+    return SDVAEConfig(block_out_channels=tuple(blocks),
+                       layers_per_block=layers, latent_channels=lat)
+
+
+def port_torch_unet(unet_module, cfg=None):
+    """torch UNet module (diffusers OR LDM/ComfyUI layout) -> (flax params,
+    SDUNetConfig), shape-validated. This is the gradient-capable route: the
+    ported weights run in the flax SDUNet, so null-text optimization
+    (inversion.py) differentiates natively on TPU — the TPU-native
+    equivalent of the reference's functional_call gradient mode
+    (model_wrappers.py:268-340)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .sd_unet import SDUNet
+
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in unet_module.state_dict().items()}
+    if looks_like_ldm(sd):
+        sd = ldm_unet_to_diffusers(sd, layers_per_block=2)  # SD1/SD2 topology
+    # Head counts are not recoverable from weight shapes; pass cfg explicitly
+    # for non-SD1/SD2 head layouts.
+    cfg = cfg or infer_unet_config(sd)
+    params = torch_to_flax_params(sd)
+    lat = jnp.zeros((1, cfg.in_channels, 8, 8))
+    ctx = jnp.zeros((1, 77, cfg.cross_attention_dim))
+    ref = jax.eval_shape(
+        lambda: SDUNet(cfg).init(jax.random.PRNGKey(0), lat, jnp.zeros(()),
+                                 ctx))
+    check_port(ref, params)
+    return params, cfg
+
+
+def port_torch_vae(vae_module, cfg=None):
+    """torch VAE module (diffusers or LDM layout) -> (flax params,
+    SDVAEConfig), shape-validated."""
+    import jax
+    import jax.numpy as jnp
+
+    from .sd_vae import SDVAE
+
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in vae_module.state_dict().items()}
+    if any(k.startswith(("encoder.down.", "decoder.up.",
+                         "first_stage_model.")) for k in sd):
+        sd = ldm_vae_to_diffusers(sd)
+    cfg = cfg or infer_vae_config(sd)
+    params = torch_to_flax_params(sd)
+    img = jnp.zeros((1, cfg.in_channels, 32, 32))
+    ref = jax.eval_shape(
+        lambda: SDVAE(cfg).init(jax.random.PRNGKey(0), img))
+    check_port(ref, params)
+    return params, cfg
+
+
 def save_params_orbax(params, path: str):
     """Persist a ported param tree natively (orbax) for fast reload."""
     import orbax.checkpoint as ocp

@@ -62,10 +62,10 @@ def _bilinear_sample_w(image: jnp.ndarray, src_x: jnp.ndarray,
     img_cw = jnp.moveaxis(image, -1, -3)                  # [B, C, H, W]
     i0e = jnp.broadcast_to(i0[:, None], (b, c, h, w))
     i1e = jnp.broadcast_to(i1[:, None], (b, c, h, w))
-    g0 = bounded_take_along_w(img_cw, i0e, max_disp)
-    g1 = bounded_take_along_w(img_cw, i1e, max_disp)
+    g0 = bounded_take_along_w(img_cw, i0e, max_disp).astype(jnp.float32)
+    g1 = bounded_take_along_w(img_cw, i1e, max_disp).astype(jnp.float32)
     out = g0 * (1.0 - fr[:, None]) + g1 * fr[:, None]
-    return jnp.moveaxis(out, -3, -1)
+    return jnp.moveaxis(out, -3, -1).astype(image.dtype)
 
 
 def _forward_warp_monotone(image, norm_depth, offset, gradient_threshold,
@@ -237,6 +237,8 @@ def forward_warp(image: jnp.ndarray, depth: jnp.ndarray, divergence_px: float,
     bound = (cmax ** stereo_offset_exponent) * abs(divergence_px) \
         + abs(separation_px)
     max_disp = int(math.ceil(bound)) + 4
+    if image.dtype not in (jnp.float32, jnp.bfloat16):
+        image = image.astype(jnp.float32)
     return _forward_warp_jit(
-        image.astype(jnp.float32), nd, offset,
+        image, nd, offset,
         float(gradient_threshold), int(max_stretch), max_disp, impl)

@@ -194,10 +194,12 @@ def _warp_kernel(cols_ref, off_ref, nd_ref, r_ref, g_ref, b_ref,
     i1 = jnp.minimum(i0 + 1, w - 1)
     fr = src - i0.astype(jnp.float32)
     for ref, out_ref in ((r_ref, or_ref), (g_ref, og_ref), (b_ref, ob_ref)):
-        plane = ref[:]
+        # Color planes may arrive bfloat16 (half the HBM DMA traffic);
+        # the lerp upcasts to f32 in VMEM and casts back on the store.
+        plane = ref[:].astype(jnp.float32)
         s0 = _vreg_gather(plane, i0, k2, nvreg)
         s1 = _vreg_gather(plane, i1, k2, nvreg)
-        out_ref[:] = s0 * (1.0 - fr) + s1 * fr
+        out_ref[:] = (s0 * (1.0 - fr) + s1 * fr).astype(out_ref.dtype)
     gap_ref[:] = gap.astype(jnp.float32)
 
 
@@ -225,12 +227,14 @@ def warp_scanline(offset, nd, red, green, blue, *, w: int,
                         memory_space=pltpu.VMEM)
     cols_spec = pl.BlockSpec((rblock, wp), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
+    color_dt = red.dtype
     outs = pl.pallas_call(
         functools.partial(_warp_kernel, w=w, wp=wp, rblock=rblock,
                           gradient_threshold=gradient_threshold,
                           max_stretch=max_stretch, max_disp=max_disp),
-        out_shape=tuple(jax.ShapeDtypeStruct((npad, wp), jnp.float32)
-                        for _ in range(4)),
+        out_shape=tuple(jax.ShapeDtypeStruct((npad, wp), dt)
+                        for dt in (color_dt, color_dt, color_dt,
+                                   jnp.float32)),
         grid=grid,
         in_specs=[cols_spec] + [spec] * 5,
         out_specs=(spec,) * 4,

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from .config import StereoConfig
 from .ops import blur as blur_ops
 from .ops import depth as depth_ops
-from .ops import fills, pack, polylines, warp
+from .ops import fills, pack, polylines, polylines_exact, warp
 
 
 def apply_stereo_divergence(image_u8: jnp.ndarray, depth: jnp.ndarray,
@@ -36,7 +36,8 @@ def apply_stereo_divergence(image_u8: jnp.ndarray, depth: jnp.ndarray,
                             stereo_offset_exponent: float,
                             fill_technique: str,
                             convergence_point: float = 0.5,
-                            polylines_samples: int = 8) -> jnp.ndarray:
+                            polylines_samples: int = 8,
+                            polylines_exact_mode: bool = True) -> jnp.ndarray:
     """CPU-parity single-eye dispatcher (reference :1576-1620).
 
     image_u8: [B,H,W,C] float32 holding uint8 values; depth: [B,H,W] raw.
@@ -70,16 +71,26 @@ def apply_stereo_divergence(image_u8: jnp.ndarray, depth: jnp.ndarray,
         guidance = fills.rgb2gray(image_u8)
         filled_img = fills.edge_aware_gap_fill(base, mask, guidance)
         if fill_technique == "hybrid_edge_plus":
-            poly = polylines.apply_polylines(image_u8, nd, divergence_px,
-                                             separation_px, exp, sharp=False,
-                                             samples=polylines_samples)
+            if polylines_exact_mode:
+                poly = polylines_exact.apply_polylines_exact(
+                    image_u8, nd, divergence_px, separation_px, exp,
+                    sharp=False)
+            else:
+                poly = polylines.apply_polylines(
+                    image_u8, nd, divergence_px, separation_px, exp,
+                    sharp=False, samples=polylines_samples)
             black = jnp.sum(filled_img, axis=-1) == 0
             return jnp.where(black[..., None], poly, filled_img)
         return filled_img
     if fill_technique in ("polylines_soft", "polylines_sharp"):
+        sharp = fill_technique == "polylines_sharp"
+        if polylines_exact_mode:
+            # Exact sub-interval integration: bit-parity with the reference
+            # scanline renderer (:1947-1991).
+            return polylines_exact.apply_polylines_exact(
+                image_u8, nd, divergence_px, separation_px, exp, sharp=sharp)
         return polylines.apply_polylines(
-            image_u8, nd, divergence_px, separation_px, exp,
-            sharp=(fill_technique == "polylines_sharp"),
+            image_u8, nd, divergence_px, separation_px, exp, sharp=sharp,
             samples=polylines_samples)
     return image_u8  # reference fallback (:1620)
 
@@ -120,6 +131,8 @@ def stereo_pipeline(image: jnp.ndarray, depth: jnp.ndarray,
     sep_px = (cfg.separation / 100.0) * w
 
     if cfg.fill_technique == "gpu_warp":
+        if cfg.color_dtype == "bfloat16":
+            image = image.astype(jnp.bfloat16)
         left_div_px = (left_div / 100.0) * w
         right_div_px = (right_div / 100.0) * w
         zero_mask = jnp.zeros(depth.shape, dtype=bool)
@@ -148,14 +161,16 @@ def stereo_pipeline(image: jnp.ndarray, depth: jnp.ndarray,
             left_eye = apply_stereo_divergence(
                 img_u8, left_d, +left_div, -cfg.separation,
                 cfg.stereo_offset_exponent, cfg.fill_technique,
-                cfg.convergence_point, cfg.polylines_samples)
+                cfg.convergence_point, cfg.polylines_samples,
+                cfg.polylines_exact)
         if right_div < 0.001:
             right_eye = img_u8
         else:
             right_eye = apply_stereo_divergence(
                 img_u8, right_d, -right_div, cfg.separation,
                 cfg.stereo_offset_exponent, cfg.fill_technique,
-                cfg.convergence_point, cfg.polylines_samples)
+                cfg.convergence_point, cfg.polylines_samples,
+                cfg.polylines_exact)
         outs_u8 = tuple(pack.pack_mode(left_eye, right_eye, m) for m in cfg.modes)
         # Black-pixel mask on the first packed output (GenerateStereo.py:355-361).
         mask = (jnp.sum(outs_u8[0], axis=-1) == 0).astype(jnp.float32)

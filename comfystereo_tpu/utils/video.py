@@ -47,6 +47,17 @@ def iter_frame_chunks(video_path: str, chunk: int
         cap.release()
 
 
+def video_fps(video_path: str) -> float:
+    """Source frame rate (falls back to 30)."""
+    if not CV2_AVAILABLE:
+        raise RuntimeError("cv2 unavailable; video streaming disabled")
+    cap = cv2.VideoCapture(video_path)
+    try:
+        return cap.get(cv2.CAP_PROP_FPS) or 30.0
+    finally:
+        cap.release()
+
+
 def convert_video(video_path: str, depth_video_path: str, out_path: str,
                   cfg: Optional[StereoConfig] = None,
                   progress: bool = True) -> int:
@@ -54,11 +65,13 @@ def convert_video(video_path: str, depth_video_path: str, out_path: str,
 
     Chunks stay device-resident through blur->warp->fill->pack; the next
     chunk's host->device upload overlaps the current chunk's compute thanks
-    to JAX's async dispatch.
+    to JAX's async dispatch. Short final chunks are zero-padded to
+    cfg.batch_size so every launch reuses the one compiled program.
     """
     import jax.numpy as jnp
 
     cfg = cfg or StereoConfig()
+    fps = video_fps(video_path)
     writer = None
     total = 0
     img_iter = iter_frame_chunks(video_path, cfg.batch_size)
@@ -78,13 +91,18 @@ def convert_video(video_path: str, depth_video_path: str, out_path: str,
             writer.write(bgr)
         total += n
 
-    fps = 30.0
-    for (imgs, fps), (dms, _) in zip(img_iter, dm_iter):
+    def pad_to_batch(x):
+        if len(x) == cfg.batch_size:
+            return x
+        reps = np.zeros((cfg.batch_size - len(x),) + x.shape[1:], x.dtype)
+        return np.concatenate([x, reps], axis=0)
+
+    for (imgs, _), (dms, _) in zip(img_iter, dm_iter):
         n = min(len(imgs), len(dms))
         gray = (0.2989 * dms[..., 0] + 0.5870 * dms[..., 1]
                 + 0.1140 * dms[..., 2])
-        out = stereo_pipeline(jnp.asarray(imgs[:n]), jnp.asarray(gray[:n]),
-                              cfg)
+        out = stereo_pipeline(jnp.asarray(pad_to_batch(imgs[:n])),
+                              jnp.asarray(pad_to_batch(gray[:n])), cfg)
         entry = (out["stereo"][0], n)
         if pending is not None:
             flush(pending)          # overlaps with the chunk just dispatched

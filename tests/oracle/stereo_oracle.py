@@ -245,19 +245,27 @@ def polylines(img, nd, div_px, sep_px, exponent, fill_technique):
     h, w, c = img.shape
     out = np.zeros_like(img)
     for row in range(h):
-        # Build warped point list with off-screen sentinels.
-        pts = [(-1.0 * w, 0.0, 0)]
+        # Build warped point list with off-screen sentinels. Arithmetic is
+        # float32 end-to-end: the reference stores points in a float32 array
+        # (stereoimage_generation.py:1920), and the framework's exact
+        # integrator computes the sweep in f32 (see ops/polylines_exact.py's
+        # dtype note) — the f32 sweep stays within 1 uint8 LSB of numba's
+        # f64-upcast intermediates.
+        pts = [(np.float32(-1.0 * w), np.float32(0.0), 0)]
         for col in range(w):
-            d = float(nd[row, col])
-            sign_d = 1.0 if d >= 0.0 else -1.0
-            coord_d = sign_d * (abs(d) ** exponent) * div_px
-            coord_x = col + 0.5 + coord_d + sep_px
+            d = nd[row, col].astype(np.float32)
+            sign_d = np.float32(1.0 if d >= 0.0 else -1.0)
+            coord_d = sign_d * (np.abs(d) ** np.float32(exponent)) \
+                * np.float32(div_px)
+            coord_x = np.float32(col + 0.5) + coord_d + np.float32(sep_px)
             if half_width < eps:
-                pts.append((coord_x, abs(coord_d), col))
+                pts.append((coord_x, np.abs(coord_d), col))
             else:
-                pts.append((coord_x - half_width, abs(coord_d), col))
-                pts.append((coord_x + half_width, abs(coord_d), col))
-        pts.append((2.0 * w, 0.0, w - 1))
+                pts.append((coord_x - np.float32(half_width),
+                            np.abs(coord_d), col))
+                pts.append((coord_x + np.float32(half_width),
+                            np.abs(coord_d), col))
+        pts.append((np.float32(2.0 * w), np.float32(0.0), w - 1))
 
         # Segments pair consecutive points (pre-sort order).
         segs = [pts[i] + pts[i + 1] for i in range(len(pts) - 1)]
@@ -278,10 +286,12 @@ def polylines(img, nd, div_px, sep_px, exponent, fill_technique):
                 pt_i += 1
             pt_i -= 1
             while pt_sorted[pt_i][0] < col + 1:
-                coord_from = max(col, pt_sorted[pt_i][0]) + eps
-                coord_to = min(col + 1, pt_sorted[pt_i + 1][0]) - eps
+                coord_from = np.float32(max(col, pt_sorted[pt_i][0])) \
+                    + np.float32(eps)
+                coord_to = np.float32(min(col + 1, pt_sorted[pt_i + 1][0])) \
+                    - np.float32(eps)
                 significance = coord_to - coord_from
-                center = coord_from + 0.5 * significance
+                center = coord_from + np.float32(0.5) * significance
                 while sg_ptr < len(sg_sorted) and sg_sorted[sg_ptr][0] < center:
                     active.append(sg_sorted[sg_ptr])
                     sg_ptr += 1

@@ -69,6 +69,32 @@ def test_depth_blur_outputs_differ_per_eye():
     assert ld.min() >= 0 and ld.max() <= 1
 
 
+def test_bf16_color_path_parity():
+    """bfloat16 color planes (gpu_warp bandwidth mode) stay within ~1 LSB of
+    the f32 path after uint8 quantization (VERDICT round-1 item 10)."""
+    import dataclasses
+
+    imgs, depths = _inputs()
+    cfg32 = StereoConfig(fill_technique="gpu_warp", modes=("left-right",))
+    cfg16 = dataclasses.replace(cfg32, color_dtype="bfloat16")
+    out32 = stereo_pipeline(imgs, depths, cfg32)
+    out16 = stereo_pipeline(imgs, depths, cfg16)
+    assert out16["stereo"][0].dtype == jnp.bfloat16
+    q32 = np.asarray(jnp.round(out32["stereo"][0] * 255)).astype(np.int32)
+    q16 = np.asarray(jnp.round(out16["stereo"][0].astype(jnp.float32) * 255)
+                     ).astype(np.int32)
+    assert np.abs(q32 - q16).max() <= 2
+    assert (np.abs(q32 - q16) > 1).mean() < 0.001
+    # Masks are identical — geometry/z math stays f32.
+    np.testing.assert_array_equal(np.asarray(out32["mask"]),
+                                  np.asarray(out16["mask"]))
+
+
+def test_color_dtype_validation():
+    with pytest.raises(ValueError):
+        StereoConfig(color_dtype="float16")
+
+
 def test_pipeline_jit_cache_stable():
     imgs, depths = _inputs()
     cfg = StereoConfig()

@@ -82,4 +82,7 @@ def test_video_roundtrip(tmp_path):
     cap = cv2.VideoCapture(out)
     assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 2 * w
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == n
+    # Output fps comes from the source probe, not a loop-closure leftover.
+    assert abs(cap.get(cv2.CAP_PROP_FPS) - 10.0) < 0.5
     cap.release()
+    assert video.video_fps(src) == pytest.approx(10.0, abs=0.5)
