@@ -224,15 +224,25 @@ def run_full(oracle_width=512):
             out = cs.stereo_pipeline(x, d, c)
     sync(out)
     fps = len(cfgs) * iters / (time.perf_counter() - t0)
-    ssim, _ = _validate(cfgs[1], img, dm, oracle_width)
-    # Bit-parity check: the exact integrator equals the CPU oracle in uint8.
+    # Default = exact integration (fused Pallas kernel, uint8 bit-parity
+    # with the CPU oracle); also time the supersampled fast mode.
     import dataclasses as _dc
-    ssim_exact, _ = _validate(_dc.replace(cfgs[1], polylines_exact=True),
-                              img, dm, min(oracle_width, 256))
+    cfgs_ss = [_dc.replace(c, polylines_exact=False) for c in cfgs]
+    for c in cfgs_ss:
+        sync(cs.stereo_pipeline(x, d, c))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        for c in cfgs_ss:
+            out = cs.stereo_pipeline(x, d, c)
+    sync(out)
+    fps_ss = len(cfgs_ss) * iters / (time.perf_counter() - t0)
+    ssim_exact, _ = _validate(cfgs[1], img, dm, min(oracle_width, 256))
+    ssim_ss, _ = _validate(cfgs_ss[1], img, dm, oracle_width)
     results.append({"config": "2_1080p_polylines_sweep",
                     "fps_per_chip": round(fps, 2),
+                    "fps_supersampled": round(fps_ss, 2),
                     "sweep_points": len(cfgs),
-                    "fill_region_ssim": round(ssim, 5),
+                    "fill_region_ssim": round(ssim_ss, 5),
                     "exact_mode_ssim": round(ssim_exact, 5)})
 
     # --- Config 3: 720p batched video frames, hybrid_edge, top-bottom -------
@@ -278,7 +288,7 @@ def run_full(oracle_width=512):
     imgs = np.stack([np.roll(img, 16 * i, axis=1) for i in range(B)])
     dms = np.stack([np.roll(dm, 16 * i, axis=1) for i in range(B)])
     x, d = jnp.asarray(imgs), jnp.asarray(dms)
-    techniques = list(cs.config.FILL_TECHNIQUES)
+    techniques = list(cs.FILL_TECHNIQUES)
     balances = (0.0, 0.5)
     cfgs = [cs.StereoConfig(fill_technique=t, stereo_balance=b,
                             modes=("left-right",), depth_map_blur=True)

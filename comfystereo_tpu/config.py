@@ -96,11 +96,11 @@ class StereoConfig:
     max_stretch: int = 8
 
     # Exact sub-interval integration for polylines: bit-parity with the
-    # reference scanline renderer (ops/polylines_exact.py) — the validation
-    # mode (~1 s/frame at 1080p). False (default) selects the fused
+    # reference scanline renderer (ops/polylines_exact.py), now a fused
+    # Pallas kernel (~68 ms/frame at 1080p — default). False selects the
     # supersampled Pallas kernel: ~28 ms/frame at 1080p, parity within a few
     # LSB at polylines_samples samples/pixel.
-    polylines_exact: bool = False
+    polylines_exact: bool = True
     # Supersampling rate for the TPU polylines renderer (samples per output px).
     polylines_samples: int = 8
 

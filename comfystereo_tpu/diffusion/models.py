@@ -289,16 +289,25 @@ def make_toy_model(rng: Optional[jax.Array] = None, image_size: int = 32,
     img = jnp.zeros((1, 3, image_size, image_size))
     vae_params = vae.init(r2, img)
 
-    def unet_apply(params, latents, t, context, mode=AttentionMode(),
-                   stereo_active=False):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("mode",))
+    def _unet_jit(params, latents, t, context, stereo_active,
+                  mode: AttentionMode):
         return unet.apply(params, latents, t, context, mode=mode,
                           stereo_active=stereo_active)
+
+    def unet_apply(params, latents, t, context, mode=AttentionMode(),
+                   stereo_active=False):
+        return _unet_jit(params, latents, t, context, stereo_active, mode)
 
     return DiffusionModel(
         unet_apply=unet_apply,
         unet_params=unet_params,
-        vae_encode=lambda p, x: vae.apply(p, x, method=SimpleVAE.encode),
-        vae_decode=lambda p, z: vae.apply(p, z, method=SimpleVAE.decode),
+        vae_encode=jax.jit(
+            lambda p, x: vae.apply(p, x, method=SimpleVAE.encode)),
+        vae_decode=jax.jit(
+            lambda p, z: vae.apply(p, z, method=SimpleVAE.decode)),
         vae_params=vae_params,
         text_encode=HashTextEncoder(dim=cfg.context_dim),
         latent_channels=cfg.in_channels,

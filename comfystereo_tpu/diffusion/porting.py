@@ -22,6 +22,7 @@ directories) and orbax save/load so ported checkpoints round-trip natively.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import struct
@@ -222,13 +223,16 @@ def _jnp_tree(tree, dtype):
 
 def build_sd_model(unet_cfg=None, vae_cfg=None, unet_params=None,
                    vae_params=None, text_encode: Optional[Callable] = None,
-                   rng=None, dtype=None):
+                   rng=None, dtype=None, init_mode: str = "random"):
     """Assemble a `DiffusionModel` bundle from the flax SD modules.
 
-    With params=None the module is randomly initialized (SD-shaped random
-    weights — the test/validation mode; real weights are cache-gated in this
-    environment, so the plumbing is what gets proven, per the reference's own
-    operating point of 512x512 latents at 50 steps).
+    With params=None the module is initialized with SD-shaped weights —
+    the test/validation mode (real weights are cache-gated in this
+    environment, so the plumbing is what gets proven, per the reference's
+    own operating point of 512x512 latents at 50 steps).
+    init_mode="zeros" skips the (large, slow-to-compile) random init and
+    materializes zero weights via eval_shape — right for shape/perf checks
+    on full-scale configs.
     """
     import jax
     import jax.numpy as jnp
@@ -244,30 +248,50 @@ def build_sd_model(unet_cfg=None, vae_cfg=None, unet_params=None,
         rng = jax.random.PRNGKey(0)
     r1, r2 = jax.random.split(rng)
 
+    def zeros_like_init(fn):
+        shapes = jax.eval_shape(fn)
+        # One jitted program materializes the whole tree (per-leaf host
+        # dispatch is prohibitively slow over remote-device relays).
+        return jax.jit(lambda: jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
+
     unet = SDUNet(unet_cfg)
     vae = SDVAE(vae_cfg)
     if unet_params is None:
         lat = jnp.zeros((1, unet_cfg.in_channels, 8, 8))
         ctx = jnp.zeros((1, 77, unet_cfg.cross_attention_dim))
-        unet_params = unet.init(r1, lat, jnp.zeros(()), ctx)
+        mk = lambda: unet.init(r1, lat, jnp.zeros(()), ctx)  # noqa: E731
+        unet_params = zeros_like_init(mk) if init_mode == "zeros" else mk()
     if vae_params is None:
         img = jnp.zeros((1, vae_cfg.in_channels, 32, 32))
-        vae_params = vae.init(r2, img)
+        mkv = lambda: vae.init(r2, img)  # noqa: E731
+        vae_params = zeros_like_init(mkv) if init_mode == "zeros" else mkv()
     unet_params = _jnp_tree(unet_params, dtype)
     vae_params = _jnp_tree(vae_params, dtype)
 
-    def unet_apply(params, latents, t, context, mode=None, stereo_active=False):
-        from .attention import AttentionMode
+    # Jit at the model boundary: the denoising loops are host-side python,
+    # so un-jitted applies would dispatch op-by-op (catastrophic over
+    # remote-device relays; measured 7.1 s vs jitted per-step on v5e).
+    from .attention import AttentionMode
 
-        return unet.apply(params, latents, t, context,
-                          mode=mode or AttentionMode(),
+    @functools.partial(jax.jit, static_argnames=("mode",))
+    def _unet_jit(params, latents, t, context, stereo_active,
+                  mode: AttentionMode):
+        return unet.apply(params, latents, t, context, mode=mode,
                           stereo_active=stereo_active)
+
+    def unet_apply(params, latents, t, context, mode=None,
+                   stereo_active=False):
+        return _unet_jit(params, latents, t, context, stereo_active,
+                         mode or AttentionMode())
 
     return DiffusionModel(
         unet_apply=unet_apply,
         unet_params=unet_params,
-        vae_encode=lambda p, x: vae.apply(p, x, method=SDVAE.encode),
-        vae_decode=lambda p, z: vae.apply(p, z, method=SDVAE.decode),
+        vae_encode=jax.jit(
+            lambda p, x: vae.apply(p, x, method=SDVAE.encode)),
+        vae_decode=jax.jit(
+            lambda p, z: vae.apply(p, z, method=SDVAE.decode)),
         vae_params=vae_params,
         text_encode=text_encode or HashTextEncoder(
             dim=unet_cfg.cross_attention_dim),

@@ -13,17 +13,18 @@ TPU-native inversion (same playbook as ops/warp.py's exact windowed z-max):
 
   * sort the warped points per row once (`jnp.sort`) — the sorted positions
     ARE the integration breakpoints; each pixel's pieces start at
-    rank(col) - 1, found by a windowed binary search (ranks displace from
-    points_per_col * col by at most the offset bound);
-  * per piece (static `max_pieces` unroll), scan the candidate segments
-    owned by source columns col + d over a DYNAMIC window d derived from the
-    row-batch's measured (coord + separation) range, in ascending source
-    order — one dynamic roll positions a packed plane stack, then each
-    iteration advances with a static roll; the loop keeps a running
-    strict-max of interpolated closeness plus the reference's fallback
-    (the lowest-x0 active segment) and accumulates the winner's color
-    eagerly, so no per-candidate state survives the loop;
-  * sentinel segments (reference :1920, :1936) are two extra candidates
+    rank(col) - 1, found by a windowed binary search over a LANE-ALIGNED
+    query grid (ranks displace from points_per_col * col by at most the
+    offset bound, so every gather is bounded and runs through the Pallas
+    vreg-gather on TPU);
+  * the winner scan walks candidate segments owned by source columns
+    col + d over a DYNAMIC window derived from the measured
+    (coord + separation) range, in ascending source order, keeping the
+    reference's strict-max + lowest-x0 fallback. On TPU it runs as a fused
+    Pallas kernel (pallas/polylines_exact_kernel.py) with the window sized
+    PER ROW-BLOCK; the XLA fallback chunks rows through lax.map for the
+    same per-chunk adaptivity;
+  * sentinel segments (reference :1920, :1936) are extra candidates
     evaluated outside the loop.
 
 Piece counts per pixel are data-dependent (points falling into one pixel);
@@ -45,25 +46,29 @@ import jax
 import jax.numpy as jnp
 
 from . import depth as depth_ops
+from ..pallas import bounded_take_along_w
 
 _EPS = jnp.float32(1e-7)
 
 
-def _searchsorted_left(xs: jnp.ndarray, queries: jnp.ndarray,
-                       anchor_scale: int, window: int) -> jnp.ndarray:
-    """rank[i] = #elements of sorted xs[..., P] strictly < queries[..., i],
-    where rank displaces from anchor_scale * i by at most `window`."""
+def _searchsorted_left_aligned(xs: jnp.ndarray, ppc: int,
+                               window: int) -> jnp.ndarray:
+    """rank[..., q] = #elements of sorted xs[..., P] strictly below the
+    query column q // ppc, evaluated on a P-lane grid so that
+    |rank - lane| <= window + ppc and every gather is bounded."""
     *lead, p = xs.shape
-    n = queries.shape[-1]
-    base = jnp.arange(n, dtype=jnp.int32) * anchor_scale
-    lo = jnp.broadcast_to(jnp.maximum(base - window, 0), tuple(lead) + (n,))
-    hi = jnp.broadcast_to(jnp.minimum(base + window, p), lo.shape)
+    lanes = jnp.arange(p, dtype=jnp.int32)
+    queries = (lanes // ppc).astype(jnp.float32)
+    lo = jnp.broadcast_to(jnp.maximum(lanes - window, 0),
+                          tuple(lead) + (p,))
+    hi = jnp.broadcast_to(jnp.minimum(lanes + window, p), lo.shape)
     rounds = max(1, math.ceil(math.log2(2 * window + 2))) + 1
+    gb = window + ppc + 2
 
     def body(_, carry):
         lo, hi = carry
         mid = (lo + hi) // 2
-        v = jnp.take_along_axis(xs, jnp.clip(mid, 0, p - 1), axis=-1)
+        v = bounded_take_along_w(xs, jnp.clip(mid, 0, p - 1), gb)
         cont = lo < hi          # freeze converged lanes (fixed-round loop)
         go = cont & (v < queries)
         return (jnp.where(go, mid + 1, lo),
@@ -73,52 +78,20 @@ def _searchsorted_left(xs: jnp.ndarray, queries: jnp.ndarray,
     return lo
 
 
-@functools.partial(jax.jit, static_argnames=("sharp", "max_pieces",
-                                              "max_disp", "row_chunk"))
-def _polylines_exact_impl(image, coord, sep_px, sharp: bool,
-                          max_pieces: int, max_disp: int,
-                          row_chunk: int = 64):
-    """Chunk rows and lax.map the core so each chunk's candidate window is
-    sized by ITS OWN coord range (a global window at 1080p+ costs seconds;
-    smooth-depth chunks need a handful of iterations)."""
-    b, h, w = coord.shape
-    c = image.shape[-1]
-    n = b * h
-    chunk = min(row_chunk, n)
-    g = -(-n // chunk)
-    npad = g * chunk
+def _piece_geometry(x, cl, sharp: bool, max_pieces: int, max_disp: int):
+    """Breakpoint geometry: (centers, sigs, valids) each [K, B, H, W] f32.
 
-    def pad_rows(v):
-        flat = v.reshape((n,) + v.shape[2:])
-        return jnp.concatenate(
-            [flat, jnp.zeros((npad - n,) + flat.shape[1:], flat.dtype)],
-            axis=0).reshape((g, chunk) + flat.shape[1:])
-
-    img_g = pad_rows(image)      # [G, chunk, W, C]
-    coord_g = pad_rows(coord)    # [G, chunk, W]
-
-    out = jax.lax.map(
-        lambda t: _exact_core(t[0][None], t[1][None], sep_px, sharp,
-                              max_pieces, max_disp)[0],
-        (img_g, coord_g))
-    return out.reshape(npad, w, c)[:n].reshape(b, h, w, c)
-
-
-def _exact_core(image, coord, sep_px, sharp: bool,
-                max_pieces: int, max_disp: int):
-    b, h, w = coord.shape
-    c = image.shape[-1]
+    x: point centers [B,H,W]; pieces follow the reference's per-pixel sweep
+    (:1950-1960): piece k of pixel col spans sorted points q0+k .. q0+k+1
+    clipped to [col, col+1], eps-shrunk.
+    """
+    b, h, w = x.shape
     ppc = 2 if sharp else 1
     hw = jnp.float32(0.45 if sharp else 0.0)
     colsf = jnp.arange(w, dtype=jnp.float32)
-    colsi = jnp.arange(w, dtype=jnp.int32)
-
-    x = colsf + 0.5 + coord + sep_px          # point centers [B,H,W]
-    cl = jnp.abs(coord)
     sent_l = jnp.float32(-1.0 * w)
     sent_r = jnp.float32(2.0 * w)
 
-    # Sorted interior point positions (breakpoints).
     if sharp:
         pts = jnp.stack([x - hw, x + hw], axis=-1).reshape(b, h, 2 * w)
     else:
@@ -126,24 +99,31 @@ def _exact_core(image, coord, sep_px, sharp: bool,
     xs = jnp.sort(pts, axis=-1)               # [B,H,P]
     p_total = ppc * w
 
-    # rank among ALL points (sentinel-left sorts before every query in [0,w]).
     win = ppc * (max_disp + 3)
-    rank_interior = _searchsorted_left(xs, colsf, ppc, win)   # [B,H,W]
+    rank_all = _searchsorted_left_aligned(xs, ppc, win)     # [B,H,P]
+    # rank for column col lives at lane ppc*col; q0 = rank_all (interior
+    # count) since the left sentinel sorts before any query in [0, w].
+    q0 = rank_all[..., ::ppc] if ppc > 1 else rank_all      # [B,H,W]
+
+    gb = win + max_pieces + ppc + 2
 
     def pt_sorted_at(q):
         """Full sorted point list incl sentinels: index 0 = left sentinel,
-        1..P = interior, P+1 = right sentinel."""
+        1..P interior, P+1 right sentinel. |q - ppc*col| is bounded, but the
+        gather output lane is col — align by querying in the P-lane space
+        when ppc > 1."""
         qi = jnp.clip(q - 1, 0, p_total - 1)
-        v = jnp.take_along_axis(xs, qi, axis=-1)
+        if ppc == 1:
+            v = bounded_take_along_w(xs, qi, gb)
+        else:
+            # Expand queries onto the P-lane grid (lane 2c holds col c's
+            # query) so |index - lane| stays bounded, then take every other.
+            qe = jnp.repeat(qi, ppc, axis=-1)
+            v = bounded_take_along_w(xs, qe, gb)[..., ::ppc]
         v = jnp.where(q <= 0, sent_l, v)
         return jnp.where(q >= p_total + 1, sent_r, v)
 
-    # rank among all points = rank_interior + 1 (left sentinel < any query);
-    # q0 = rank_all - 1 = index of the last point with x < col.
-    q0 = rank_interior
-
-    # Piece geometry (reference :1955-1960), float32 expression forms.
-    froms, tos, centers, valids = [], [], [], []
+    centers, sigs, valids = [], [], []
     xq = pt_sorted_at(q0)
     for k in range(max_pieces):
         xq1 = pt_sorted_at(q0 + k + 1)
@@ -151,29 +131,38 @@ def _exact_core(image, coord, sep_px, sharp: bool,
         f_k = jnp.maximum(colsf, xq) + _EPS
         t_k = jnp.minimum(colsf + 1.0, xq1) - _EPS
         sig = t_k - f_k
-        froms.append(f_k)
-        tos.append(t_k)
         centers.append(f_k + 0.5 * sig)
-        valids.append(valid)
+        sigs.append(sig)
+        valids.append(valid.astype(jnp.float32))
         xq = xq1
+    return (jnp.stack(centers), jnp.stack(sigs), jnp.stack(valids))
 
-    # ---- candidate scan ----------------------------------------------------
-    m = coord + sep_px
-    d_lo = jnp.floor(-jnp.max(m)).astype(jnp.int32) - 2
-    d_hi = jnp.ceil(-jnp.min(m)).astype(jnp.int32) + 2
-    d_lo = jnp.maximum(d_lo, -(max_disp + 4))
-    d_hi = jnp.minimum(d_hi, max_disp + 4)
 
-    img_p = jnp.moveaxis(image.astype(jnp.float32), -1, 0)  # [C,B,H,W]
-    planes = jnp.concatenate([x[None], cl[None], img_p], axis=0)  # [2+C,...]
-    planes0 = jnp.roll(planes, -d_lo, axis=-1)
+# ---------------------------------------------------------------------------
+# XLA winner scan (CPU fallback / oracle for the fused kernel)
+# ---------------------------------------------------------------------------
 
-    neg = jnp.float32(-1e30)
+def _winner_scan_xla(image, x, cl, centers, sigs, valids, sep_px,
+                     sharp: bool, max_pieces: int, max_disp: int):
+    b, h, w = x.shape
+    c = image.shape[-1]
+    hw = jnp.float32(0.45 if sharp else 0.0)
+    colsi = jnp.arange(w, dtype=jnp.int32)
+    sent_l = jnp.float32(-1.0 * w)
+    sent_r = jnp.float32(2.0 * w)
     inf = jnp.float32(1e30)
 
-    def scan_piece(center):
-        """Winner color at `center` for one piece: [C,B,H,W]."""
+    m = x - (jnp.arange(w, dtype=jnp.float32) + 0.5)
+    d_lo = jnp.maximum(jnp.floor(-jnp.max(m)).astype(jnp.int32) - 2,
+                       -(max_disp + 4))
+    d_hi = jnp.minimum(jnp.ceil(-jnp.min(m)).astype(jnp.int32) + 2,
+                       max_disp + 4)
 
+    img_p = jnp.moveaxis(image.astype(jnp.float32), -1, 0)  # [C,B,H,W]
+    planes = jnp.concatenate([x[None], cl[None], img_p], axis=0)
+    planes0 = jnp.roll(planes, -d_lo, axis=-1)
+
+    def scan_piece(center):
         def consider(state, x0, x1, cl0, cl1, col_l, col_r, cand_ok,
                      flat=False):
             best_cl, best_col, n_act, fb_x0, fb_col = state
@@ -183,9 +172,7 @@ def _exact_core(image, coord, sep_px, sharp: bool,
             ip = (center - x0) / safe
             clp = (1.0 - ip) * cl0 + ip * cl1
             qual = active & (ip > 0.0) & (ip < 1.0)
-            # flat: both endpoints share a source column (within-pixel and
-            # sentinel segments, reference :1984-1985) -> raw image color.
-            if flat:
+            if flat:  # both endpoints share a source column (:1984-1985)
                 cval = col_l
             else:
                 cval = col_l * (1.0 - ip[None]) + col_r * ip[None]
@@ -202,11 +189,9 @@ def _exact_core(image, coord, sep_px, sharp: bool,
             cur, state = carry
             nxt = jnp.roll(cur, -1, axis=-1)
             d = d_lo + t
-            cp = colsi + d                      # candidate source column
-            x_c, cl_c = cur[0], cur[1]
-            img_c = cur[2:]
-            x_n, cl_n = nxt[0], nxt[1]
-            img_n = nxt[2:]
+            cp = colsi + d
+            x_c, cl_c, img_c = cur[0], cur[1], cur[2:]
+            x_n, cl_n, img_n = nxt[0], nxt[1], nxt[2:]
             if sharp:
                 state = consider(state, x_c - hw, x_c + hw, cl_c, cl_c,
                                  img_c, img_c,
@@ -220,9 +205,8 @@ def _exact_core(image, coord, sep_px, sharp: bool,
         state = (jnp.full(shape, -_EPS), jnp.zeros((c,) + shape),
                  jnp.zeros(shape, jnp.int32), jnp.full(shape, inf),
                  jnp.zeros((c,) + shape))
-        # Sentinel segments (evaluated once; reference :1920, :1936).
-        first_x = x[..., :1] - hw               # x of pt[1]
-        last_x = x[..., -1:] + hw               # x of pt[P]
+        first_x = x[..., :1] - hw
+        last_x = x[..., -1:] + hw
         state = consider(state, jnp.broadcast_to(sent_l, shape),
                          jnp.broadcast_to(first_x, shape),
                          jnp.zeros(shape),
@@ -240,28 +224,97 @@ def _exact_core(image, coord, sep_px, sharp: bool,
         _, state = jax.lax.fori_loop(0, d_hi - d_lo + 1, body,
                                      (planes0, state))
         best_cl, best_col, n_act, fb_x0, fb_col = state
-        qual_found = best_cl > -_EPS
-        use_best = qual_found & (n_act != 1)
+        use_best = (best_cl > -_EPS) & (n_act != 1)
         return jnp.where(use_best[None], best_col, fb_col)
 
     acc = jnp.full((c, b, h, w), 0.5, jnp.float32)
     for k in range(max_pieces):
         color_k = scan_piece(centers[k])
-        sig_k = tos[k] - froms[k]
-        acc = acc + jnp.where(valids[k][None], color_k * sig_k[None], 0.0)
-
+        acc = acc + jnp.where(valids[k][None] > 0.5,
+                              color_k * sigs[k][None], 0.0)
     out = jnp.moveaxis(acc, 0, -1)
     return jnp.trunc(jnp.clip(out, 0.0, 255.0))
+
+
+def _exact_core(image, coord, sep_px, sharp: bool, max_pieces: int,
+                max_disp: int):
+    b, h, w = coord.shape
+    colsf = jnp.arange(w, dtype=jnp.float32)
+    x = colsf + 0.5 + coord + sep_px
+    cl = jnp.abs(coord)
+    centers, sigs, valids = _piece_geometry(x, cl, sharp, max_pieces,
+                                            max_disp)
+    return _winner_scan_xla(image, x, cl, centers, sigs, valids, sep_px,
+                            sharp, max_pieces, max_disp)
+
+
+@functools.partial(jax.jit, static_argnames=("sharp", "max_pieces",
+                                              "max_disp", "row_chunk",
+                                              "impl"))
+def _polylines_exact_impl(image, coord, sep_px, sharp: bool,
+                          max_pieces: int, max_disp: int,
+                          row_chunk: int = 64, impl: str = "auto"):
+    b, h, w = coord.shape
+    c = image.shape[-1]
+    use_pallas = (impl == "pallas"
+                  or (impl == "auto" and jax.default_backend() == "tpu"))
+    if use_pallas:
+        from ..pallas.polylines_exact_kernel import polylines_exact_scanline
+
+        n = b * h
+        colsf = jnp.arange(w, dtype=jnp.float32)
+        x = (colsf + 0.5 + coord + sep_px).reshape(n, w)
+        cl = jnp.abs(coord).reshape(n, w)
+        centers, sigs, valids = _piece_geometry(
+            x.reshape(b, h, w), cl.reshape(b, h, w), sharp, max_pieces,
+            max_disp)
+        img = jnp.moveaxis(image.astype(jnp.float32), -1, 0).reshape(c, n, w)
+        pl3 = [img[i] for i in range(min(c, 3))]
+        while len(pl3) < 3:
+            pl3.append(pl3[-1])
+        outs = polylines_exact_scanline(
+            x, cl, pl3[0], pl3[1], pl3[2],
+            centers.reshape(max_pieces, n, w),
+            sigs.reshape(max_pieces, n, w),
+            valids.reshape(max_pieces, n, w),
+            w=w, k_pieces=max_pieces, sharp=sharp, max_disp=max_disp,
+            interpret=jax.default_backend() != "tpu")
+        return jnp.stack([o.reshape(b, h, w) for o in outs[:max(c, 1)]],
+                         axis=-1)
+
+    # XLA fallback: chunk rows through lax.map so each chunk's candidate
+    # window sizes to its own coord range.
+    n = b * h
+    chunk = min(row_chunk, n)
+    g = -(-n // chunk)
+    npad = g * chunk
+
+    def pad_rows(v):
+        flat = v.reshape((n,) + v.shape[2:])
+        return jnp.concatenate(
+            [flat, jnp.zeros((npad - n,) + flat.shape[1:], flat.dtype)],
+            axis=0).reshape((g, chunk) + flat.shape[1:])
+
+    img_g = pad_rows(image)
+    coord_g = pad_rows(coord)
+    out = jax.lax.map(
+        lambda t: _exact_core(t[0][None], t[1][None], sep_px, sharp,
+                              max_pieces, max_disp)[0],
+        (img_g, coord_g))
+    return out.reshape(npad, w, c)[:n].reshape(b, h, w, c)
 
 
 def apply_polylines_exact(image: jnp.ndarray, norm_depth: jnp.ndarray,
                           divergence_px: float, separation_px: float,
                           stereo_offset_exponent: float, sharp: bool = True,
-                          max_pieces: int = 12) -> jnp.ndarray:
+                          max_pieces: int = 12,
+                          impl: str = "auto") -> jnp.ndarray:
     """Exact-integration polylines projection for one eye.
 
     image: [B,H,W,C] float32 holding uint8 values; norm_depth: [B,H,W]
     normalized depth minus convergence point (dispatcher convention).
+    impl: 'auto' (fused Pallas kernel on TPU, chunked XLA elsewhere)
+    | 'pallas' | 'xla'.
     """
     coord = depth_ops.signed_power(norm_depth, stereo_offset_exponent) \
         * divergence_px
@@ -269,4 +322,5 @@ def apply_polylines_exact(image: jnp.ndarray, norm_depth: jnp.ndarray,
     max_disp = int(math.ceil(max_off)) + 4
     return _polylines_exact_impl(
         image.astype(jnp.float32), coord.astype(jnp.float32),
-        jnp.float32(separation_px), bool(sharp), int(max_pieces), max_disp)
+        jnp.float32(separation_px), bool(sharp), int(max_pieces), max_disp,
+        impl=impl)

@@ -310,7 +310,7 @@ def polylines_scanline(x, coord, red, green, blue, *, w: int,
             pad(blue))
 
     local = cb + 2 * halo
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     outs = pl.pallas_call(
         functools.partial(_poly_kernel, w=w, wp=wp, cb=cb, halo=halo,
                           rblock=rblock, sharp=sharp, samples=samples,

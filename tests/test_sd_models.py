@@ -353,6 +353,40 @@ def test_nine_channel_inpaint_unet_path():
     assert seen and all(c == 9 for c in seen)  # every step used 9-ch input
 
 
+@pytest.mark.slow
+def test_sd_topology_512px_and_50_steps():
+    """The reference's operating point is 512x512 at 50 steps
+    (stereodiffusion_nodes.py:257-265). Real-SD-width forwards at that point
+    run on the TPU (see NOTES.md r2 numbers); CI proves the plumbing with the
+    same 4-block SD TOPOLOGY at reduced width: (a) 512x512 shapes flow
+    through the adapter stack end-to-end, (b) a 50-step denoising loop
+    compiles once and runs."""
+    import dataclasses as dc
+
+    from comfystereo_tpu.diffusion import porting as _p
+    from comfystereo_tpu.diffusion import schedulers, sd_pipeline
+
+    cfg = dc.replace(TINY_SD_UNET_CONFIG,
+                     block_out_channels=(32, 32, 64, 64))
+    model = _p.build_sd_model(unet_cfg=cfg, vae_cfg=TINY_SD_VAE_CONFIG)
+    # (a) 512x512: one CFG UNet step + VAE decode at the real latent size.
+    lat = jnp.zeros((2, 4, 64, 64))
+    ctx = jnp.zeros((2, 77, cfg.cross_attention_dim))
+    eps = model.unet_apply(model.unet_params, lat, jnp.float32(500), ctx)
+    assert eps.shape == (2, 4, 64, 64)
+    img = model.vae_decode(model.vae_params, lat[:1, :, :64, :64])
+    assert img.shape[-2:] == (128, 128)  # tiny VAE is /2; SD's real cfg is /8
+    # (b) 50 DDIM steps at a small latent (one compile, 50 launches).
+    sched = schedulers.make_ddim(50)
+    latents = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8))
+    small_ctx = jnp.zeros((1, 77, cfg.cross_attention_dim))
+    for i in range(50):
+        t = jnp.int32(sched.timesteps[i])
+        e = model.unet_apply(model.unet_params, latents, t, small_ctx)
+        latents = schedulers.ddim_step(sched, e, t, latents)
+    assert bool(jnp.isfinite(latents).all())
+
+
 def test_resolve_model_routing():
     from comfystereo_tpu.nodes.stereodiffusion import _resolve_model
 
