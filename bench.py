@@ -310,13 +310,71 @@ def run_full(oracle_width=512):
     return results
 
 
+def run_sd():
+    """StereoDiffusion compute benchmarks at the reference's operating point
+    (512x512 latents, 50 steps, CFG — stereodiffusion_nodes.py:257-265),
+    using the SD-1.5-architecture flax stack with SD-shaped weights."""
+    import jax
+    import jax.numpy as jnp
+    from comfystereo_tpu.diffusion import porting as porting_mod
+    from comfystereo_tpu.diffusion.sd_unet import SDUNetConfig
+    from comfystereo_tpu.diffusion.sd_vae import SDVAEConfig
+
+    model = porting_mod.build_sd_model(unet_cfg=SDUNetConfig(),
+                                       vae_cfg=SDVAEConfig(),
+                                       init_mode="zeros")
+    lat = jnp.zeros((2, 4, 64, 64), jnp.float32)   # CFG pair, 512x512
+    ctx = jnp.zeros((2, 77, 768), jnp.float32)
+
+    def sync(x):
+        np.asarray(x[:1, :1, :1, :1])
+
+    e = model.unet_apply(model.unet_params, lat, jnp.float32(500), ctx)
+    sync(e)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        e = model.unet_apply(model.unet_params, lat, jnp.float32(500), ctx)
+    sync(e)
+    step_ms = (time.perf_counter() - t0) / 10 * 1e3
+
+    z = jnp.zeros((1, 4, 64, 64), jnp.float32)
+    img = model.vae_decode(model.vae_params, z)
+    sync(img)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        img = model.vae_decode(model.vae_params, z)
+    sync(img)
+    dec_ms = (time.perf_counter() - t0) / 5 * 1e3
+
+    # Reference README.md:263: null-text optimization ~2-3 min on a modern
+    # GPU; the pipeline cost model is 50 CFG steps (DDIM) + 50 inversion
+    # steps + <=10 inner fwd+bwd per timestep for null-text.
+    results = [
+        {"metric": "sd15_unet_cfg_step_512px", "value": round(step_ms, 2),
+         "unit": "ms"},
+        {"metric": "sd15_vae_decode_512px", "value": round(dec_ms, 2),
+         "unit": "ms"},
+        {"metric": "sd15_ddim_50step_estimate",
+         "value": round(50 * step_ms / 1e3 + dec_ms / 1e3, 2), "unit": "s"},
+    ]
+    for r in results:
+        print(json.dumps(r))
+    return results
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--full", action="store_true",
                         help="benchmark all five BASELINE configs")
+    parser.add_argument("--sd", action="store_true",
+                        help="benchmark the SD-1.5-scale diffusion stack")
     parser.add_argument("--oracle-width", type=int, default=512,
                         help="validation width for the pure-python oracle")
     args = parser.parse_args()
+
+    if args.sd:
+        run_sd()
+        return
 
     import jax
     import jax.numpy as jnp

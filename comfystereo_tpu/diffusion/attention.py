@@ -68,21 +68,30 @@ def bn_attention(q, k, v, scale: float, *, is_cross: bool,
 
     q,k,v: [B, H, N, D]. `active` may be a traced bool (current step has
     passed start_step). Cross-attention always stays standard (:137).
+
+    When `active` is traced, the standard/stereo variants are selected with
+    `lax.cond` so only ONE attention is executed per step (a `where` would
+    run both, doubling every self-attention in the denoise loop).
     """
-    base = standard_attention(q, k, v, scale)
     if is_cross or not mode.stereo:
-        return base
+        return standard_attention(q, k, v, scale)
 
     uni = mode.direction == "uni"
-    if mode.use_cfg:
-        b4 = q.shape[0]
-        half = b4 // 2
-        out_u = _stereo_pair_attention(q[:half], k[:half], v[:half], scale, uni)
-        out_c = _stereo_pair_attention(q[half:], k[half:], v[half:], scale, uni)
-        stereo_out = jnp.concatenate([out_u, out_c], axis=0)
-    else:
-        stereo_out = _stereo_pair_attention(q, k, v, scale, uni)
+
+    def stereo_fn(ops):
+        q, k, v = ops
+        if mode.use_cfg:
+            half = q.shape[0] // 2
+            out_u = _stereo_pair_attention(q[:half], k[:half], v[:half],
+                                           scale, uni)
+            out_c = _stereo_pair_attention(q[half:], k[half:], v[half:],
+                                           scale, uni)
+            return jnp.concatenate([out_u, out_c], axis=0)
+        return _stereo_pair_attention(q, k, v, scale, uni)
+
+    def base_fn(ops):
+        return standard_attention(*ops, scale)
 
     if isinstance(active, bool):
-        return stereo_out if active else base
-    return jnp.where(active, stereo_out, base)
+        return stereo_fn((q, k, v)) if active else base_fn((q, k, v))
+    return jax.lax.cond(active, stereo_fn, base_fn, (q, k, v))

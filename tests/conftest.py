@@ -13,6 +13,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# Persistent XLA compile cache: the suite is compile-dominated (oracle-exact
+# kernels trace large windowed scans), and caching cuts repeat wall time
+# ~2.5x. Respects a pre-set dir (CI restores it via actions/cache).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "comfystereo_tpu",
+                 "jax_cache"))
 
 import jax  # noqa: E402
 
