@@ -26,6 +26,7 @@ operations, no JIT warmup).
 """
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -133,9 +134,8 @@ def _oracle_sbs(img01, depth255, cfg, oracle):
     return np.concatenate([left, right], axis=1) / 255.0
 
 
-def _time_fps(fn, sync, frames_per_call, iters=5):
-    fn()  # compile / warm
-    sync()
+def _time_fps(fn, sync, frames_per_call, iters=10):
+    sync(fn())  # compile / warm AND drain the device queue
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
@@ -188,8 +188,12 @@ def run_full(oracle_width=512):
     from tests.oracle import stereo_oracle as oracle
 
     def sync(out=None):
+        # Force completion with a ONE-element device slice + host copy —
+        # copying a full leaf would bill the relay's host-transfer
+        # bandwidth (~seconds for a 4K frame) to the compute timing.
         if out is not None:
-            np.asarray(jax.tree_util.tree_leaves(out)[0])[:1]
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
 
     results = []
 
@@ -362,18 +366,66 @@ def run_sd():
     return results
 
 
+def run_video(h=720, w=1280, n_frames=48):
+    """End-to-end Video2Stereo throughput: cv2 decode -> u8 upload ->
+    device-fused convert+stereo -> u8 download -> cv2 encode, with the
+    producer thread and one-chunk-in-flight device pipeline (BASELINE
+    config #5's workflow shape, examples/Video2Stereo.json).
+
+    NOTE: over the axon remote-TPU relay this measures the relay's ~9 MB/s
+    device->host link, not the framework (a 12-frame 720p u8 chunk is
+    33 MB); on a co-located TPU host the same path is PCIe-bound and the
+    pipeline overlaps decode | compute | encode."""
+    import tempfile
+
+    import cv2
+    from comfystereo_tpu.config import StereoConfig
+    from comfystereo_tpu.utils import fixtures, video
+
+    tmp = tempfile.mkdtemp(prefix="bench_video_")
+    src, dep, out = (os.path.join(tmp, f) for f in
+                     ("src.mp4", "dep.mp4", "out.mp4"))
+    base_img = fixtures.create_test_image(h, w).astype(np.uint8)
+    base_dm = np.stack([fixtures.create_depth_map(h, w)] * 3, -1
+                       ).astype(np.uint8)
+    for path, base in ((src, base_img), (dep, base_dm)):
+        wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                             (w, h))
+        for i in range(n_frames):
+            wr.write(cv2.cvtColor(np.roll(base, 4 * i, axis=1),
+                                  cv2.COLOR_RGB2BGR))
+        wr.release()
+
+    cfg = StereoConfig(modes=("left-right",), fill_technique="gpu_warp",
+                       batch_size=12)
+    video.convert_video(src, dep, out, cfg, progress=False)  # warm compile
+    t0 = time.perf_counter()
+    total = video.convert_video(src, dep, out, cfg, progress=False)
+    dt = time.perf_counter() - t0
+    result = {"metric": "video2stereo_720p_end_to_end",
+              "value": round(total / dt, 2), "unit": "frames/sec",
+              "frames": total}
+    print(json.dumps(result))
+    return result
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--full", action="store_true",
                         help="benchmark all five BASELINE configs")
     parser.add_argument("--sd", action="store_true",
                         help="benchmark the SD-1.5-scale diffusion stack")
+    parser.add_argument("--video", action="store_true",
+                        help="end-to-end video decode->stereo->encode bench")
     parser.add_argument("--oracle-width", type=int, default=512,
                         help="validation width for the pure-python oracle")
     args = parser.parse_args()
 
     if args.sd:
         run_sd()
+        return
+    if args.video:
+        run_video()
         return
 
     import jax

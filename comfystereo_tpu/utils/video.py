@@ -13,6 +13,8 @@ multithreaded, ~10x numpy at 4K — and falls back to numpy otherwise.
 """
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -29,16 +31,23 @@ except Exception:  # pragma: no cover
     CV2_AVAILABLE = False
 
 
-def iter_frame_chunks(video_path: str, chunk: int, gray: bool = False
-                      ) -> Iterator[Tuple[np.ndarray, float]]:
+def iter_frame_chunks(video_path: str, chunk: int, gray: bool = False,
+                      raw: bool = False) -> Iterator[Tuple[np.ndarray, float]]:
     """Yield ([n,H,W,3] float32 RGB 0-1 chunks, fps); `gray=True` yields
     [n,H,W] Rec.601 luma instead (the node's depth-gray weights,
-    reference GenerateStereo.py:135) without materializing an RGB chunk."""
+    reference GenerateStereo.py:135) without materializing an RGB chunk.
+    `raw=True` yields the decoder's BGR uint8 frames untouched — the
+    streaming pipeline uploads those and converts on-device (4x less
+    host->device traffic than f32)."""
     if not CV2_AVAILABLE:
         raise RuntimeError("cv2 unavailable; video streaming disabled")
     cap = cv2.VideoCapture(video_path)
     fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-    convert = native.bgr_u8_to_gray_f32 if gray else native.bgr_u8_to_rgb_f32
+    if raw:
+        convert = lambda x: x  # noqa: E731
+    else:
+        convert = (native.bgr_u8_to_gray_f32 if gray
+                   else native.bgr_u8_to_rgb_f32)
     frames = []
     try:
         while True:
@@ -75,28 +84,66 @@ def convert_video(video_path: str, depth_video_path: str, out_path: str,
     chunk's host->device upload overlaps the current chunk's compute thanks
     to JAX's async dispatch. Short final chunks are zero-padded to
     cfg.batch_size so every launch reuses the one compiled program.
+
+    Host<->device traffic is uint8 BOTH ways: raw decoder BGR frames go up,
+    packed BGR stereo frames come down, and all pixel conversion (channel
+    swizzle, /255, Rec.601 depth luma, *255 + truncate) is fused into the
+    device program — 4x less interconnect traffic than shipping f32, and
+    the host's per-chunk work reduces to stacking decoder output and
+    feeding the encoder.
     """
+    import functools
+
+    import jax
     import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def _device_chunk(bgr_u8, dep_bgr_u8, cfg):
+        img = bgr_u8[..., ::-1].astype(jnp.float32) / 255.0
+        d = dep_bgr_u8.astype(jnp.float32)
+        gray = (0.2989 * d[..., 2] + 0.5870 * d[..., 1]
+                + 0.1140 * d[..., 0]) / 255.0
+        out = stereo_pipeline(img, gray, cfg)
+        sbs = out["stereo"][0]
+        return jnp.trunc(jnp.clip(sbs * 255.0, 0.0, 255.0)
+                         ).astype(jnp.uint8)[..., ::-1]
 
     cfg = cfg or StereoConfig()
     fps = video_fps(video_path)
     writer = None
     total = 0
-    img_iter = iter_frame_chunks(video_path, cfg.batch_size)
-    dm_iter = iter_frame_chunks(depth_video_path, cfg.batch_size, gray=True)
+
+    # Producer thread: cv2 decode + native pixel marshalling run off the
+    # dispatch thread (cv2 releases the GIL; hostops threads too), bounded
+    # at 2 chunks so at most decode(next) | compute(current) | write(prev)
+    # are in flight together.
+    chunk_q: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def _produce():
+        try:
+            img_iter = iter_frame_chunks(video_path, cfg.batch_size,
+                                         raw=True)
+            dm_iter = iter_frame_chunks(depth_video_path, cfg.batch_size,
+                                        raw=True)
+            for (imgs, _), (deps, _) in zip(img_iter, dm_iter):
+                chunk_q.put((imgs, deps))
+        finally:
+            chunk_q.put(None)
+
+    reader = threading.Thread(target=_produce, daemon=True)
+    reader.start()
     pending = None  # (device_out, n_frames) pipeline: one chunk in flight
 
     def flush(entry):
         nonlocal writer, total
         out_dev, n = entry
-        arr = np.asarray(out_dev)
+        arr = np.asarray(out_dev)  # BGR uint8, ready for the encoder
         for f in arr[:n]:
-            bgr = native.rgb_f32_to_bgr_u8(f)
             if writer is None:
-                h, w = bgr.shape[:2]
+                h, w = f.shape[:2]
                 writer = cv2.VideoWriter(
                     out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
-            writer.write(bgr)
+            writer.write(f)
         total += n
 
     def pad_to_batch(x):
@@ -105,16 +152,21 @@ def convert_video(video_path: str, depth_video_path: str, out_path: str,
         reps = np.zeros((cfg.batch_size - len(x),) + x.shape[1:], x.dtype)
         return np.concatenate([x, reps], axis=0)
 
-    for (imgs, _), (gray, _) in zip(img_iter, dm_iter):
-        n = min(len(imgs), len(gray))
-        out = stereo_pipeline(jnp.asarray(pad_to_batch(imgs[:n])),
-                              jnp.asarray(pad_to_batch(gray[:n])), cfg)
-        entry = (out["stereo"][0], n)
+    while True:
+        item = chunk_q.get()
+        if item is None:
+            break
+        imgs, deps = item
+        n = min(len(imgs), len(deps))
+        out = _device_chunk(jnp.asarray(pad_to_batch(imgs[:n])),
+                            jnp.asarray(pad_to_batch(deps[:n])), cfg)
+        entry = (out, n)
         if pending is not None:
             flush(pending)          # overlaps with the chunk just dispatched
         pending = entry
         if progress:
             print(f"\rconverted {total} frames", end="", flush=True)
+    reader.join()
     if pending is not None:
         flush(pending)
     if writer is not None:

@@ -45,6 +45,33 @@ def test_fused_exact_matches_xla_sweep(sharp, div, sep):
 
 
 @pytest.mark.slow
+def test_fused_exact_piece_chunked_width():
+    """Widths past ~2560 px exceed the kernel's VMEM budget for all 12
+    pieces in one call; the pieces are then chunked across calls with the
+    accumulator threaded through. Cover that path (incl. sequential-order
+    preservation) off-TPU at a reduced row count."""
+    from comfystereo_tpu.pallas import polylines_exact_kernel as kmod
+
+    h, w = 2, 2700
+    wp = -(-w // 128) * 128
+    fixed = 12 * 8 * wp * 8
+    per = 9 * 8 * wp * 4 + 3 * 8 * wp * 8
+    assert (int((16 << 20) / 1.2) - fixed) // per < 12  # chunking engaged
+    img = fixtures.create_test_image(h, w).astype(np.float32)
+    depth = fixtures.create_depth_map(h, w).astype(np.float32)
+    from comfystereo_tpu.ops import depth as depth_ops
+
+    nd = depth_ops.normalize_depth(jnp.asarray(depth[None])) - 0.5
+    outs = []
+    for impl in ("xla", "pallas"):
+        out = pe.apply_polylines_exact(
+            jnp.asarray(img[None]), nd, 0.045 * w, 0.0, 2.0,
+            sharp=True, impl=impl)
+        outs.append(np.asarray(out)[0].astype(np.uint8))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+@pytest.mark.slow
 def test_fused_exact_fold_heavy():
     rng = np.random.default_rng(0)
     depth = (np.where(np.arange(W)[None, :] % 13 < 6, 255.0, 40.0)
