@@ -331,7 +331,8 @@ def run_sd():
     ctx = jnp.zeros((2, 77, 768), jnp.float32)
 
     def sync(x):
-        np.asarray(x[:1, :1, :1, :1])
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
 
     e = model.unet_apply(model.unet_params, lat, jnp.float32(500), ctx)
     sync(e)
@@ -350,9 +351,32 @@ def run_sd():
     sync(img)
     dec_ms = (time.perf_counter() - t0) / 5 * 1e3
 
-    # Reference README.md:263: null-text optimization ~2-3 min on a modern
-    # GPU; the pipeline cost model is 50 CFG steps (DDIM) + 50 inversion
-    # steps + <=10 inner fwd+bwd per timestep for null-text.
+    # Null-text optimization inner step: UNet fwd+bwd wrt the uncond
+    # embedding (inversion.py null_optimization; ported models are
+    # differentiable flax, so this runs natively). Reference README.md:263
+    # quotes ~2-3 min for the whole null-text pipeline on a "modern GPU";
+    # worst case here is 50 timesteps x 10 inner steps.
+    from comfystereo_tpu.diffusion.sd_unet import SDUNet
+
+    unet = SDUNet(SDUNetConfig())
+    lat1 = jnp.zeros((1, 4, 64, 64), jnp.float32)
+    u0 = jnp.zeros((1, 77, 768), jnp.float32)
+
+    @jax.jit
+    def nt_inner(params, uncond, lat, t, target):
+        def loss(u):
+            eps = unet.apply(params, lat, t, u)
+            return jnp.mean((eps - target) ** 2)
+        return jax.value_and_grad(loss)(uncond)
+
+    _, g = nt_inner(model.unet_params, u0, lat1, jnp.float32(500), lat1)
+    sync(g)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _, g = nt_inner(model.unet_params, u0, lat1, jnp.float32(500), lat1)
+    sync(g)
+    nt_ms = (time.perf_counter() - t0) / 5 * 1e3
+
     results = [
         {"metric": "sd15_unet_cfg_step_512px", "value": round(step_ms, 2),
          "unit": "ms"},
@@ -360,6 +384,11 @@ def run_sd():
          "unit": "ms"},
         {"metric": "sd15_ddim_50step_estimate",
          "value": round(50 * step_ms / 1e3 + dec_ms / 1e3, 2), "unit": "s"},
+        {"metric": "sd15_nulltext_inner_step", "value": round(nt_ms, 2),
+         "unit": "ms"},
+        {"metric": "sd15_nulltext_worst_case_estimate",
+         "value": round(500 * nt_ms / 1e3, 1), "unit": "s",
+         "reference": "~2-3 min on a modern GPU (README.md:263)"},
     ]
     for r in results:
         print(json.dumps(r))
