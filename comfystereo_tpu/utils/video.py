@@ -75,6 +75,32 @@ def video_fps(video_path: str) -> float:
         cap.release()
 
 
+def _device_chunk_fn():
+    """Module-level jitted chunk program so the trace cache persists across
+    convert_video calls (a closure inside convert_video would retrace per
+    call)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def _device_chunk(bgr_u8, dep_bgr_u8, cfg):
+        img = bgr_u8[..., ::-1].astype(jnp.float32) / 255.0
+        d = dep_bgr_u8.astype(jnp.float32)
+        gray = (0.2989 * d[..., 2] + 0.5870 * d[..., 1]
+                + 0.1140 * d[..., 0]) / 255.0
+        out = stereo_pipeline(img, gray, cfg)
+        sbs = out["stereo"][0]
+        return jnp.trunc(jnp.clip(sbs * 255.0, 0.0, 255.0)
+                         ).astype(jnp.uint8)[..., ::-1]
+
+    return _device_chunk
+
+
+_DEVICE_CHUNK = None
+
+
 def convert_video(video_path: str, depth_video_path: str, out_path: str,
                   cfg: Optional[StereoConfig] = None,
                   progress: bool = True) -> int:
@@ -92,21 +118,12 @@ def convert_video(video_path: str, depth_video_path: str, out_path: str,
     the host's per-chunk work reduces to stacking decoder output and
     feeding the encoder.
     """
-    import functools
-
-    import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def _device_chunk(bgr_u8, dep_bgr_u8, cfg):
-        img = bgr_u8[..., ::-1].astype(jnp.float32) / 255.0
-        d = dep_bgr_u8.astype(jnp.float32)
-        gray = (0.2989 * d[..., 2] + 0.5870 * d[..., 1]
-                + 0.1140 * d[..., 0]) / 255.0
-        out = stereo_pipeline(img, gray, cfg)
-        sbs = out["stereo"][0]
-        return jnp.trunc(jnp.clip(sbs * 255.0, 0.0, 255.0)
-                         ).astype(jnp.uint8)[..., ::-1]
+    global _DEVICE_CHUNK
+    if _DEVICE_CHUNK is None:
+        _DEVICE_CHUNK = _device_chunk_fn()
+    _device_chunk = _DEVICE_CHUNK
 
     cfg = cfg or StereoConfig()
     fps = video_fps(video_path)
