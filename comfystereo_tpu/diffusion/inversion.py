@@ -113,11 +113,22 @@ def invert(model: DiffusionModel, image_nchw: jnp.ndarray, prompt: str,
 
     # model/sched are closed over (they hold callables, not traceable leaves);
     # lr and stop_eps are traced so one compiled step serves all timesteps.
-    @jax.jit
-    def step_fn(latent_cur, latent_prev, t, u, cond, lr, stop_eps):
-        return null_text_optimize_step(
-            model, sched, latent_cur, latent_prev, t, u, cond,
-            guidance_scale, num_inner_steps, lr, stop_eps)
+    # The jitted step is cached ON the model bundle keyed by the closed-over
+    # statics, so repeated invert() calls with the same model reuse the
+    # trace instead of recompiling (SD-scale fwd+bwd compiles are minutes).
+    cache = getattr(model, "_invert_step_cache", None)
+    if cache is None:
+        cache = {}
+        model._invert_step_cache = cache
+    key = (num_ddim_steps, float(guidance_scale), int(num_inner_steps))
+    step_fn = cache.get(key)
+    if step_fn is None:
+        @jax.jit
+        def step_fn(latent_cur, latent_prev, t, u, cond, lr, stop_eps):
+            return null_text_optimize_step(
+                model, sched, latent_cur, latent_prev, t, u, cond,
+                guidance_scale, num_inner_steps, lr, stop_eps)
+        cache[key] = step_fn
 
     latent_cur = traj[-1]
     unconds = []
