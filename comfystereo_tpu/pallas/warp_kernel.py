@@ -131,24 +131,32 @@ def _warp_kernel(cols_ref, off_ref, nd_ref, r_ref, g_ref, b_ref,
     d_hi = jnp.minimum(
         jnp.ceil(-jnp.min(valid_off)).astype(jnp.int32), r_static)
 
-    packed = jnp.concatenate(
-        [conn.astype(jnp.float32), dl, safe_w, nd, nd_next, mstart], axis=0)
+    # Connectivity is FOLDED into the z endpoints: disconnected segments get
+    # z = -1e30, so `zz > zbest + 1e-6` can never fire for them (zbest init
+    # -1.0, real nd in [0,1]) and winners are unchanged bit-for-bit. This
+    # drops one plane from the rolled stack and two vector ops from every
+    # window iteration. The i-bound checks stay — they guard the CYCLIC
+    # aliasing of the rolled buffer, which poisoning cannot cover when
+    # w == wp.
+    poison = jnp.float32(_NEG_INF)
+    zl_p = jnp.where(conn, nd, poison)
+    zr_p = jnp.where(conn, nd_next, poison)
+    packed = jnp.concatenate([dl, safe_w, zl_p, zr_p, mstart], axis=0)
     shift0 = jnp.mod(-d_lo, wp)
     packed = pltpu.roll(packed, shift0, axis=1)  # lane c holds segment c+d_lo
 
     def body(t, carry):
         seg, zbest, src = carry
         d = d_lo + t
-        conn_t = seg[0 * rblock:1 * rblock]
-        dl_t = seg[1 * rblock:2 * rblock]
-        sw_t = seg[2 * rblock:3 * rblock]
-        zl_t = seg[3 * rblock:4 * rblock]
-        zr_t = seg[4 * rblock:5 * rblock]
-        ms_t = seg[5 * rblock:6 * rblock]
+        dl_t = seg[0 * rblock:1 * rblock]
+        sw_t = seg[1 * rblock:2 * rblock]
+        zl_t = seg[2 * rblock:3 * rblock]
+        zr_t = seg[3 * rblock:4 * rblock]
+        ms_t = seg[4 * rblock:5 * rblock]
         i = cols_i + d
         frac = (cols - dl_t) / sw_t
         zz = zl_t * (1.0 - frac) + zr_t * frac
-        valid = ((conn_t > 0.5) & (i >= 0) & (i <= w - 2)
+        valid = ((i >= 0) & (i <= w - 2)
                  & (frac >= 0.0) & (frac < 1.0)
                  & (cols - ms_t < max_stretch))
         better = valid & (zz > zbest + 1e-6)
