@@ -130,10 +130,9 @@ def convert_video(video_path: str, depth_video_path: str, out_path: str,
     writer = None
     total = 0
 
-    # Producer thread: cv2 decode + native pixel marshalling run off the
-    # dispatch thread (cv2 releases the GIL; hostops threads too), bounded
-    # at 2 chunks so at most decode(next) | compute(current) | write(prev)
-    # are in flight together.
+    # Producer thread: cv2 decode runs off the dispatch thread (cv2
+    # releases the GIL), bounded at 2 chunks so at most
+    # decode(next) | compute(current) | write(prev) are in flight together.
     chunk_q: "queue.Queue" = queue.Queue(maxsize=2)
 
     def _produce():
