@@ -120,8 +120,15 @@ def torch_to_flax_params(state_dict: Mapping[str, Any],
         path = _merge_digit_parts(key.split("."))
         leaf = path[-1]
         if leaf == "weight":
-            if arr.ndim == 4 and arr.shape[-2:] == (1, 1) and "attn" in key:
-                arr = arr[:, :, 0, 0]  # legacy 1x1-conv attention projection
+            # Legacy LDM/ComfyUI VAE attention projections are stored as
+            # [C,C,1,1] convs, but SDVAE implements to_q/to_k/to_v/to_out.0
+            # as nn.Dense (2-D kernels) — squeeze whenever the parent module
+            # is one of those projections (keyed on the module NAME, not a
+            # substring of the whole key: 'attn' never matches modern
+            # '...attentions.N...' spellings).
+            if (arr.ndim == 4 and arr.shape[-2:] == (1, 1) and len(path) >= 2
+                    and path[-2] in ("to_q", "to_k", "to_v", "to_out_0")):
+                arr = arr[:, :, 0, 0]
             if arr.ndim == 4:
                 new_leaf, arr = "kernel", arr.transpose(2, 3, 1, 0)
             elif arr.ndim == 2:
@@ -431,11 +438,17 @@ def ldm_unet_to_diffusers(state_dict: Mapping[str, Any],
 
 
 def ldm_vae_to_diffusers(state_dict: Mapping[str, Any],
-                         num_blocks: int = 4) -> Dict[str, Any]:
+                         num_blocks: Optional[int] = None) -> Dict[str, Any]:
     """Convert an LDM/ComfyUI AutoencoderKL state_dict (encoder.down /
     decoder.up naming) to the diffusers layout. Decoder up-block order is
-    REVERSED between the two conventions."""
+    REVERSED between the two conventions; the block count is inferred from
+    the highest up/down index when not given (SD VAEs use 4)."""
     out: Dict[str, Any] = {}
+    if num_blocks is None:
+        stripped = [k.split("first_stage_model.")[-1] for k in state_dict]
+        idx = [int(k.split(".")[2]) for k in stripped
+               if k.startswith(("encoder.down.", "decoder.up."))]
+        num_blocks = max(idx) + 1 if idx else 4
 
     def attn(rest: str) -> str:
         head = rest.split(".", 1)

@@ -20,7 +20,13 @@ TPU-native inversion (same playbook as ops/warp.py's exact windowed z-max):
   * the winner scan walks candidate segments owned by source columns
     col + d over a DYNAMIC window derived from the measured
     (coord + separation) range, in ascending source order, keeping the
-    reference's strict-max + lowest-x0 fallback. On TPU it runs as a fused
+    reference's strict-max rule. When NO segment qualifies (no 0 < ip < 1
+    winner) the reference falls back to csg[0] of its swap-removal-churned
+    active list — a history-dependent, order-defined choice; here the
+    fallback is the LOWEST-x0 active segment, a deterministic
+    canonicalization that can differ from the reference only on fold-heavy
+    rows with several active segments and exact-float closeness ties (all
+    parity fixtures agree). On TPU it runs as a fused
     Pallas kernel (pallas/polylines_exact_kernel.py) with the window sized
     PER ROW-BLOCK; the XLA fallback chunks rows through lax.map for the
     same per-chunk adaptivity;

@@ -17,9 +17,15 @@ TPU-native design (measured on v5e):
     ACTUAL trip count shrinks to the block's measured offset range
     (floor(-off_max)-1 .. ceil(-off_min)), a dynamic-bound fori_loop.
     Scanning candidates in ascending index order with the reference's strict
-    `z > best + 1e-6` replacement reproduces the sequential scatter's
-    winners, ties, coverage, and gap mask EXACTLY — including backward folds
+    `z > best + 1e-6` replacement matches the sequential-scan oracle's
+    winners, ties, coverage, and gap mask exactly — including backward folds
     and either divergence sign (round-1's first-crossing deviation removed).
+    Tie caveat: the reference's torch implementation iterates k-major with a
+    vectorized scatter_ whose duplicate-index order is UNDEFINED, so ties
+    within its 1e-6 epsilon (and stale out-of-range scatters to clamped
+    border columns) have no deterministic reference answer. The ascending-
+    source-index rule used here (and by the oracle) is the chosen
+    deterministic canonicalization of that order-dependent behavior.
 2.  The window walk uses one dynamic roll to position the packed segment
     arrays, then a static 1-lane roll per iteration — no gathers in the
     z-max loop.

@@ -134,6 +134,7 @@ def convert_video(video_path: str, depth_video_path: str, out_path: str,
     # releases the GIL), bounded at 2 chunks so at most
     # decode(next) | compute(current) | write(prev) are in flight together.
     chunk_q: "queue.Queue" = queue.Queue(maxsize=2)
+    produce_error: list = []  # producer exception, re-raised in the consumer
 
     def _produce():
         try:
@@ -143,6 +144,8 @@ def convert_video(video_path: str, depth_video_path: str, out_path: str,
                                         raw=True)
             for (imgs, _), (deps, _) in zip(img_iter, dm_iter):
                 chunk_q.put((imgs, deps))
+        except BaseException as exc:  # surfaced after join, not swallowed
+            produce_error.append(exc)
         finally:
             chunk_q.put(None)
 
@@ -183,6 +186,11 @@ def convert_video(video_path: str, depth_video_path: str, out_path: str,
         if progress:
             print(f"\rconverted {total} frames", end="", flush=True)
     reader.join()
+    if produce_error:
+        if writer is not None:
+            writer.release()
+        raise RuntimeError(
+            f"video decode failed after {total} frames") from produce_error[0]
     if pending is not None:
         flush(pending)
     if writer is not None:

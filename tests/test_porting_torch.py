@@ -186,3 +186,75 @@ def test_infer_unet_config_sd2_heads():
     assert cfg.attention_head_dim == (5, 10)
     assert cfg.block_out_channels == (320, 640)
     assert cfg.layers_per_block == 2
+
+
+def test_port_ldm_vae_with_1x1_conv_attention():
+    """Legacy LDM/ComfyUI VAEs store attention q/k/v/proj_out as [C,C,1,1]
+    convs while SDVAE implements them as nn.Dense (2-D kernels). The port
+    must squeeze those to Dense kernels keyed on the parent module name —
+    the old 'attn' substring check never matched modern
+    '...attentions.N.to_q...' spellings, so the squeeze silently never
+    fired and check_port raised for every LDM checkpoint (ADVICE r2,
+    high). Shape-level AND value-level: forward equality after the port."""
+    vae = SDVAE(TINY_SD_VAE_CONFIG)
+    img = jax.random.normal(jax.random.PRNGKey(5), (1, 3, 32, 32))
+    params = vae.init(jax.random.PRNGKey(1), img)
+    modern = porting.flax_to_torch_state_dict(params)
+
+    # Rewrite the modern diffusers layout into the legacy LDM VAE layout:
+    # attention projections become 1x1 convs under their legacy names.
+    back = {"to_q": "q", "to_k": "k", "to_v": "v"}
+    ldm = {}
+    for key, v in modern.items():
+        parts = key.split(".")
+        if "attentions" in parts:
+            i = parts.index("attentions")
+            side = parts[0]
+            mid = "attn_1"  # tiny config: only mid-block attention
+            rest = parts[i + 2:]
+            if rest[0] in back:
+                name = back[rest[0]]
+            elif rest[0] == "to_out":
+                name, rest = "proj_out", [rest[0]] + rest[2:]
+            else:  # group_norm
+                name = "norm"
+            leaf = rest[-1]
+            if name in ("q", "k", "v", "proj_out") and leaf == "weight":
+                v = v[:, :, None, None]  # Dense [out,in] -> conv [O,I,1,1]
+            ldm[f"{side}.mid.{mid}.{name}.{leaf}"] = v
+        elif "mid_block" in parts:
+            i = parts.index("mid_block")
+            blk = {"resnets": {"0": "block_1", "1": "block_2"}}[
+                parts[i + 1]][parts[i + 2]]
+            rest = ".".join(parts[i + 3:])
+            rest = rest.replace("conv_shortcut", "nin_shortcut")
+            ldm[f"{parts[0]}.mid.{blk}.{rest}"] = v
+        elif "down_blocks" in parts or "up_blocks" in parts:
+            updown = "down" if "down_blocks" in parts else "up"
+            i = parts.index(f"{updown}_blocks")
+            n_blocks = len(TINY_SD_VAE_CONFIG.block_out_channels)
+            bi = int(parts[i + 1])
+            if updown == "up":
+                bi = n_blocks - 1 - bi  # reversed order
+            if parts[i + 2] == "resnets":
+                rest = ".".join(parts[i + 4:]).replace("conv_shortcut",
+                                                       "nin_shortcut")
+                ldm[f"{parts[0]}.{updown}.{bi}.block.{parts[i + 3]}."
+                    f"{rest}"] = v
+            else:  # downsamplers/upsamplers
+                kind = "downsample" if updown == "down" else "upsample"
+                ldm[f"{parts[0]}.{updown}.{bi}.{kind}."
+                    + ".".join(parts[i + 4:])] = v
+        elif "conv_norm_out" in parts:
+            ldm[key.replace("conv_norm_out", "norm_out")] = v
+        else:  # conv_in/conv_out/quant_conv/post_quant_conv
+            ldm[key] = v
+
+    module = FakeTorchModule(ldm)
+    ported, cfg = porting.port_torch_vae(module, cfg=TINY_SD_VAE_CONFIG)
+    # to_q must be a Dense kernel (2-D), not a 4-D conv kernel
+    q = ported["params"]["encoder"]["mid_block"]["attentions_0"]["to_q"]
+    assert q["kernel"].ndim == 2
+    want = vae.apply(params, img)
+    got = SDVAE(cfg).apply(ported, img)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
