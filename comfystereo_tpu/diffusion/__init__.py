@@ -5,7 +5,9 @@ DDIM inversion + null-text optimization, CFG denoising, and the fast
 warp+inpaint path — re-designed as pure functions over flax models.
 """
 from . import adapters, attention, helpers, inversion, models, schedulers  # noqa: F401
-from . import sd_pipeline, stereo_latent  # noqa: F401
+from . import clip_text, clip_tokenizer, sd_pipeline, stereo_latent  # noqa: F401
+from .clip_text import CLIPTextModel, CLIPTextConfig, NativeCLIPTextEncoder  # noqa: F401
+from .clip_tokenizer import CLIPBPETokenizer  # noqa: F401
 from .attention import AttentionMode, bn_attention  # noqa: F401
 from .helpers import diffusion_step, diffusion_step_no_cfg, init_latent  # noqa: F401
 from .models import DiffusionModel, LatentUNet, SimpleVAE, UNetConfig, make_toy_model  # noqa: F401

@@ -122,9 +122,23 @@ def from_torch_modules(unet, vae, tokenizer, text_encoder,
                     truncation=True, return_tensors="pt")
                 return jnp.asarray(text_encoder(tok.input_ids)[0].numpy())
 
-            text_enc = (EmbeddingCache(encode_text)
-                        if tokenizer is not None and text_encoder is not None
-                        else None)
+            text_enc = None
+            if tokenizer is not None and text_encoder is not None:
+                # Prefer porting the CLIP tower into the native flax model
+                # (TPU-resident encode; tokenization stays host-side via the
+                # caller's tokenizer). Non-CLIP encoders keep the torch
+                # host-callback.
+                try:
+                    from .clip_text import NativeCLIPTextEncoder
+                    from .porting import port_torch_text_encoder
+
+                    te_params, te_cfg = port_torch_text_encoder(text_encoder)
+                    text_enc = NativeCLIPTextEncoder(tokenizer, te_params,
+                                                     te_cfg)
+                except Exception as te_err:
+                    print(f"[comfystereo-tpu] text-encoder port unavailable "
+                          f"({te_err}); encoding text via torch host call")
+                    text_enc = EmbeddingCache(encode_text)
             return build_sd_model(unet_cfg, vae_cfg, unet_params, vae_params,
                                   text_encode=text_enc)
         except Exception as e:

@@ -78,6 +78,38 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def save_safetensors(tensors: Mapping[str, np.ndarray], path: str) -> None:
+    """Write numpy arrays as a .safetensors file (the format the loader
+    reads: 8-byte LE header length + JSON header + raw little-endian
+    buffer). Used by export paths and the synthetic-checkpoint tests."""
+    try:
+        from safetensors.numpy import save_file
+
+        save_file({k: np.ascontiguousarray(v) for k, v in tensors.items()},
+                  path)
+        return
+    except ImportError:
+        pass
+    inv_dtypes = {np.dtype(v): k for k, v in _SAFETENSORS_DTYPES.items()}
+    header: Dict[str, Any] = {}
+    offset = 0
+    blobs = []
+    for name, arr in tensors.items():
+        arr = np.ascontiguousarray(arr)
+        blob = arr.tobytes()
+        header[name] = {"dtype": inv_dtypes[arr.dtype],
+                        "shape": list(arr.shape),
+                        "data_offsets": [offset, offset + len(blob)]}
+        offset += len(blob)
+        blobs.append(blob)
+    hjson = json.dumps(header).encode("utf-8")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(hjson)))
+        f.write(hjson)
+        for blob in blobs:
+            f.write(blob)
+
+
 def _merge_digit_parts(parts: Iterable[str]) -> Tuple[str, ...]:
     """['down_blocks','0','resnets','1'] -> ('down_blocks_0','resnets_1')."""
     merged = []
@@ -132,7 +164,13 @@ def torch_to_flax_params(state_dict: Mapping[str, Any],
             if arr.ndim == 4:
                 new_leaf, arr = "kernel", arr.transpose(2, 3, 1, 0)
             elif arr.ndim == 2:
-                new_leaf, arr = "kernel", arr.T
+                # Embedding tables (token_embedding / position_embedding in
+                # CLIP) keep [num, dim] layout — flax nn.Embed stores them
+                # untransposed under the 'embedding' leaf.
+                if len(path) >= 2 and path[-2].endswith("embedding"):
+                    new_leaf = "embedding"
+                else:
+                    new_leaf, arr = "kernel", arr.T
             elif arr.ndim == 1:
                 new_leaf = "scale"
             else:
@@ -174,8 +212,8 @@ def flax_to_torch_state_dict(params: Mapping[str, Any]) -> Dict[str, np.ndarray]
             if name == "kernel":
                 leaf = "weight"
                 arr = arr.transpose(3, 2, 0, 1) if arr.ndim == 4 else arr.T
-            elif name == "scale":
-                leaf = "weight"
+            elif name in ("scale", "embedding"):
+                leaf = "weight"  # norm scale / embedding table (untransposed)
             else:
                 leaf = "bias"
             out[".".join(parts + [leaf])] = arr
@@ -310,17 +348,17 @@ def build_sd_model(unet_cfg=None, vae_cfg=None, unet_params=None,
 
 def load_sd_from_diffusers_dir(model_dir: str, unet_cfg=None, vae_cfg=None,
                                text_encode=None, dtype=None):
-    """Load a diffusers-format model directory (unet/ + vae/ safetensors)
-    into the flax SD modules; validates the port against the module's own
-    init tree. Equivalent to the reference's load_sd_model
-    (model_loader.py:22-93) minus the download."""
+    """Load a diffusers-format model directory (unet/ + vae/ + text_encoder/
+    + tokenizer/) into the flax SD modules; validates each port against the
+    module's own init tree. Equivalent to the reference's load_sd_model
+    (model_loader.py:22-93) minus the download. The checkpoint's own CLIP
+    text tower and BPE vocab drive prompt conditioning — self-contained, no
+    transformers; the hash-stub fallback fires only when the directory
+    genuinely lacks a text encoder."""
     import jax
 
-    from .sd_unet import SDUNet, SD15_UNET_CONFIG
-    from .sd_vae import SDVAE, SD_VAE_CONFIG
-
-    unet_cfg = unet_cfg or SD15_UNET_CONFIG
-    vae_cfg = vae_cfg or SD_VAE_CONFIG
+    from .sd_unet import SDUNet
+    from .sd_vae import SDVAE
 
     def find_st(sub):
         d = os.path.join(model_dir, sub)
@@ -333,6 +371,10 @@ def load_sd_from_diffusers_dir(model_dir: str, unet_cfg=None, vae_cfg=None,
 
     unet_sd = load_safetensors(find_st("unet"))
     vae_sd = load_safetensors(find_st("vae"))
+    # Configs come from the checkpoint's own shapes unless given (head
+    # counts per infer_unet_config's SD1/SD2 family rule).
+    unet_cfg = unet_cfg or infer_unet_config(unet_sd)
+    vae_cfg = vae_cfg or infer_vae_config(vae_sd)
     unet_params = torch_to_flax_params(unet_sd)
     vae_params = torch_to_flax_params(vae_sd)
 
@@ -348,6 +390,12 @@ def load_sd_from_diffusers_dir(model_dir: str, unet_cfg=None, vae_cfg=None,
     ref_vae = jax.eval_shape(
         lambda: SDVAE(vae_cfg).init(jax.random.PRNGKey(0), img))
     check_port(ref_vae, vae_params)
+
+    if text_encode is None:
+        text_encode = load_clip_text_from_dir(model_dir, dtype=dtype)
+        if text_encode is None:
+            print(f"[comfystereo-tpu] {model_dir} has no text_encoder/ + "
+                  "tokenizer/; prompts fall back to the hash-stub embedding")
 
     return build_sd_model(unet_cfg, vae_cfg, unet_params, vae_params,
                           text_encode=text_encode, dtype=dtype)
@@ -608,6 +656,79 @@ def port_torch_vae(vae_module, cfg=None):
         lambda: SDVAE(cfg).init(jax.random.PRNGKey(0), img))
     check_port(ref, params)
     return params, cfg
+
+
+def _strip_to_text_model(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Normalize nested text-encoder prefixes (ComfyUI wraps the CLIP tower
+    as cond_stage_model.transformer.text_model..., transformers as
+    text_model...) down to the bare ``text_model.`` layout."""
+    out = {}
+    for k, v in state_dict.items():
+        i = k.find("text_model.")
+        if i >= 0:
+            out[k[i:]] = v
+    return out
+
+
+def port_text_encoder_state(state_dict: Mapping[str, Any], cfg=None):
+    """transformers/ComfyUI CLIP text state_dict -> (flax params,
+    CLIPTextConfig), shape-validated against the module's own init tree.
+    The reference reaches the same weights through TextEncoderWrapper /
+    the diffusers pipeline (model_wrappers.py:108-171,
+    model_loader.py:22-95)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .clip_text import CLIPTextModel, infer_text_config
+
+    sd = _strip_to_text_model(state_dict)
+    if not sd:
+        raise ValueError("no text_model.* keys found in state_dict")
+    cfg = cfg or infer_text_config(sd)
+    params = torch_to_flax_params(sd)
+    ids = jnp.zeros((1, cfg.max_position_embeddings), jnp.int32)
+    ref = jax.eval_shape(
+        lambda: CLIPTextModel(cfg).init(jax.random.PRNGKey(0), ids))
+    check_port(ref, params)
+    return params, cfg
+
+
+def port_torch_text_encoder(text_module, cfg=None):
+    """torch CLIPTextModel (or any module wrapping one) -> (flax params,
+    CLIPTextConfig)."""
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in text_module.state_dict().items()}
+    return port_text_encoder_state(sd, cfg=cfg)
+
+
+def load_clip_text_from_dir(model_dir: str, dtype=None):
+    """Build a NativeCLIPTextEncoder from a diffusers model directory's
+    ``text_encoder/`` + ``tokenizer/`` subdirs (self-contained: no
+    transformers). Returns None when either piece is absent."""
+    from .clip_text import NativeCLIPTextEncoder, config_from_json
+    from .clip_tokenizer import CLIPBPETokenizer
+
+    te_dir = os.path.join(model_dir, "text_encoder")
+    st_path = None
+    for name in ("model.safetensors", "diffusion_pytorch_model.safetensors"):
+        p = os.path.join(te_dir, name)
+        if os.path.exists(p):
+            st_path = p
+            break
+    tok_dir = os.path.join(model_dir, "tokenizer")
+    if st_path is None or not os.path.exists(
+            os.path.join(tok_dir, "vocab.json")):
+        return None
+    sd = load_safetensors(st_path)
+    cfg = None
+    cfg_path = os.path.join(te_dir, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path, encoding="utf-8") as f:
+            cfg = config_from_json(json.load(f))
+    params, cfg = port_text_encoder_state(sd, cfg=cfg)
+    tokenizer = CLIPBPETokenizer.from_dir(tok_dir,
+                                          max_length=cfg.max_position_embeddings)
+    return NativeCLIPTextEncoder(tokenizer, params, cfg, dtype=dtype)
 
 
 def save_params_orbax(params, path: str):
