@@ -1,4 +1,4 @@
-"""Pure-functional diffusion schedulers (DDIM / Euler / PNDM-lite).
+"""Functional diffusion schedulers (DDIM / Euler / PNDM-PLMS).
 
 JAX re-design of the scheduler surface the reference relies on
 (diffusers DDIMScheduler/EulerDiscreteScheduler/PNDMScheduler; created in
@@ -12,7 +12,7 @@ inversion.py:57-75 in the reference.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -154,3 +154,122 @@ def pndm_skip_timesteps(sched: DiffusionSchedule, strength: float):
     n = sched.num_inference_steps
     start = min(int(n * (1.0 - strength)), n - 1)
     return sched.timesteps[start:]
+
+
+# ---------------------------------------------------------------------------
+# PNDM (PLMS variant, skip_prk_steps=True — what SD inpainting ships with;
+# the reference's inpaint runner creates exactly this scheduler,
+# model_wrappers.py:557-593)
+# ---------------------------------------------------------------------------
+
+def make_pndm(num_inference_steps: int = 50, num_train_timesteps: int = 1000,
+              beta_start: float = 0.00085, beta_end: float = 0.012,
+              steps_offset: int = 1) -> DiffusionSchedule:
+    """PLMS timestep schedule: ascending stride-ratio timesteps (+offset)
+    with the SECOND-highest timestep duplicated, reversed — the published
+    skip_prk_steps=True layout (the duplicate pairs with the counter==1
+    Heun correction in `pndm_step`). len(timesteps) = steps + 1."""
+    ac = _beta_schedule(num_train_timesteps, beta_start, beta_end)
+    ratio = num_train_timesteps // num_inference_steps
+    ts = (np.arange(0, num_inference_steps) * ratio).round().astype(
+        np.int64) + steps_offset
+    plms = np.concatenate([ts[:-1], ts[-2:-1], ts[-1:]])[::-1]
+    return DiffusionSchedule(
+        num_train_timesteps=num_train_timesteps, alphas_cumprod=ac,
+        final_alpha_cumprod=float(ac[0]),
+        timesteps=plms.astype(np.int32),
+        num_inference_steps=num_inference_steps)
+
+
+@dataclasses.dataclass
+class PNDMState:
+    """Linear-multistep state carried by the host-side sampling loop
+    (ets = eps history, newest last; cur_sample backs the counter==1 Heun
+    correction). The arrays inside are device arrays; the structure itself
+    is host state, matching the python-loop design of the inpaint path."""
+
+    ets: list = dataclasses.field(default_factory=list)
+    cur_sample: Optional[jnp.ndarray] = None
+    counter: int = 0
+
+
+def _pndm_prev_sample(sched: DiffusionSchedule, sample, t, prev_t,
+                      model_output):
+    """The PNDM transfer formula (published form): exact on the DDIM path
+    for exact eps, stable for linear-multistep eps combinations."""
+    a_t = _alpha_at(sched, t)
+    a_prev = _alpha_at(sched, prev_t)
+    b_t = 1.0 - a_t
+    b_prev = 1.0 - a_prev
+    coeff = jnp.sqrt(a_prev / a_t)
+    denom = a_t * jnp.sqrt(b_prev) + jnp.sqrt(a_t * b_t * a_prev)
+    return coeff * sample - (a_prev - a_t) * model_output / denom
+
+
+def pndm_step(sched: DiffusionSchedule, state: PNDMState,
+              model_output: jnp.ndarray, t, sample: jnp.ndarray
+              ) -> Tuple[jnp.ndarray, PNDMState]:
+    """One PLMS step; returns (prev_sample, new_state).
+
+    Published counter logic: step 0 is plain eps (caching the sample),
+    step 1 re-does the SAME transfer from the cached sample with the
+    Heun-averaged eps, steps 2/3 use 2nd/3rd-order Adams-Bashforth, then
+    the 4th-order formula thereafter.
+    """
+    ratio = sched.step_ratio()
+    t = int(t)
+    prev_t = t - ratio
+    ets = list(state.ets)
+    cur_sample = state.cur_sample
+    if state.counter != 1:
+        ets = ets[-3:] + [model_output]
+    else:
+        prev_t = t
+        t = t + ratio
+    if len(ets) == 1 and state.counter == 0:
+        mo = model_output
+        cur_sample = sample
+    elif len(ets) == 1 and state.counter == 1:
+        mo = (model_output + ets[-1]) / 2.0
+        sample = cur_sample
+        cur_sample = None
+    elif len(ets) == 2:
+        mo = (3.0 * ets[-1] - ets[-2]) / 2.0
+    elif len(ets) == 3:
+        mo = (23.0 * ets[-1] - 16.0 * ets[-2] + 5.0 * ets[-3]) / 12.0
+    else:
+        mo = (55.0 * ets[-1] - 59.0 * ets[-2] + 37.0 * ets[-3]
+              - 9.0 * ets[-4]) / 24.0
+    prev = _pndm_prev_sample(sched, sample, t, prev_t, mo)
+    return prev, PNDMState(ets=ets, cur_sample=cur_sample,
+                           counter=state.counter + 1)
+
+
+# ---------------------------------------------------------------------------
+# Per-model-type selection + generic stepping
+# ---------------------------------------------------------------------------
+
+def make_for_model_type(model_type: str,
+                        num_inference_steps: int = 50) -> DiffusionSchedule:
+    """Scheduler selection parity with the reference
+    (model_wrappers.py:419-459): SD2.x gets EulerDiscrete, SD1.x/default
+    gets DDIM. (The inpaint runner separately uses PNDM — `make_pndm`.)"""
+    if model_type == "SD2":
+        return make_euler(num_inference_steps)
+    return make_ddim(num_inference_steps)
+
+
+def scheduler_step(sched: DiffusionSchedule, model_output: jnp.ndarray,
+                   t, sample: jnp.ndarray) -> jnp.ndarray:
+    """Generic single step: Euler when the schedule carries sigmas, DDIM
+    otherwise. (PNDM is stateful — use `pndm_step` directly.)"""
+    if sched.sigmas is not None:
+        return euler_step(sched, model_output, t, sample)
+    return ddim_step(sched, model_output, t, sample)
+
+
+def to_sigma_space(sched: DiffusionSchedule, sample: jnp.ndarray, t):
+    """Convert an alpha-parameterized latent (x = sqrt(a) x0 + sqrt(1-a) n,
+    what DDIM inversion produces) to Euler's sigma parameterization
+    (x = x0 + sigma n): divide by sqrt(alpha_cumprod[t])."""
+    return sample / jnp.sqrt(_alpha_at(sched, t))

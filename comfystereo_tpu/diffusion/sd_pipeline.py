@@ -57,12 +57,27 @@ def text2stereo(model: DiffusionModel, image_nchw: jnp.ndarray,
                 num_inference_steps: int = 50,
                 null_text_optimization: bool = False,
                 num_inner_steps: int = 10, seed: int = 0,
-                use_cfg: bool = True) -> StereoResult:
-    """Standard (DDIM) StereoDiffusion for one frame.
+                use_cfg: bool = True,
+                scheduler: str = "auto") -> StereoResult:
+    """Standard (DDIM-inversion) StereoDiffusion for one frame.
 
     image_nchw: [1, 3, H, W] in [-1, 1]; depth: [1, H, W] (any scale).
+
+    scheduler: "auto" selects per model type like the reference
+    (model_wrappers.py:419-459): SD2-family (1024-d context) denoises with
+    Euler, SD1/default with DDIM; or pass "ddim"/"euler" explicitly.
+    Inversion itself is always DDIM (its closed forms require it,
+    reference inversion.py:57-75); for Euler the inverted latent is
+    converted to sigma parameterization at loop entry.
     """
-    sched = schedulers.make_ddim(num_inference_steps)
+    if scheduler == "auto":
+        from .adapters import detect_model_type
+
+        scheduler = ("euler" if detect_model_type(model) == "SD2"
+                     else "ddim")
+    sched = (schedulers.make_euler(num_inference_steps)
+             if scheduler == "euler"
+             else schedulers.make_ddim(num_inference_steps))
     inv = invert(model, image_nchw, prompt,
                  num_ddim_steps=num_inference_steps,
                  guidance_scale=guidance_scale,
@@ -80,6 +95,10 @@ def text2stereo(model: DiffusionModel, image_nchw: jnp.ndarray,
     rng = jax.random.PRNGKey(seed)
 
     latents = jnp.concatenate([inv.latents[-1]] * 2, axis=0)  # [2,C,h,w]
+    if sched.sigmas is not None:
+        # DDIM-inverted latent -> Euler's sigma parameterization.
+        latents = schedulers.to_sigma_space(sched, latents,
+                                            jnp.int32(sched.timesteps[0]))
     mask = None
 
     for i in range(num_inference_steps):
@@ -107,12 +126,13 @@ def text2stereo(model: DiffusionModel, image_nchw: jnp.ndarray,
         ctx = jnp.concatenate(
             [jnp.repeat(uncond_i, n_views, axis=0),
              jnp.repeat(cond, n_views, axis=0)], axis=0)
-        lat_in = jnp.concatenate([latents] * 2, axis=0)
+        lat_in = schedulers.scale_model_input(
+            sched, jnp.concatenate([latents] * 2, axis=0), t)
         eps = model.unet_apply(model.unet_params, lat_in, t, ctx,
                                mode=mode, stereo_active=stereo_active)
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         eps = eps_u + guidance_scale * (eps_c - eps_u)
-        latents = schedulers.ddim_step(sched, eps, t, latents)
+        latents = schedulers.scheduler_step(sched, eps, t, latents)
 
     images = _nan_guard(_to_01(latent_to_image(model, latents)))
     return StereoResult(left=images[:1], right=images[1:])
@@ -198,8 +218,11 @@ def diffusion_inpaint(model: DiffusionModel, image_nchw: jnp.ndarray,
       after every step.
 
     mask_nchw: [B,1,H,W], 1 = region to regenerate.
+
+    Runs the PNDM (PLMS) scheduler like the reference's inpaint runner
+    (model_wrappers.py:557-593), with its strength-based step skipping.
     """
-    sched = schedulers.make_ddim(num_inference_steps)
+    sched = schedulers.make_pndm(num_inference_steps)
     cond = model.text_encode(prompt)
     uncond = model.text_encode("")
     ctx = jnp.concatenate([uncond, cond], axis=0)
@@ -227,7 +250,8 @@ def diffusion_inpaint(model: DiffusionModel, image_nchw: jnp.ndarray,
     noise = jax.random.normal(sub, lat0.shape)
     latents = schedulers.add_noise(sched, lat0, noise, jnp.int32(timesteps[0]))
 
-    for t_host in timesteps:
+    pstate = schedulers.PNDMState()
+    for i, t_host in enumerate(timesteps):
         t = jnp.int32(t_host)
         lat_in = jnp.concatenate([latents] * 2, axis=0)
         if nine_ch:  # [latents | mask | masked latents] (:607)
@@ -238,11 +262,15 @@ def diffusion_inpaint(model: DiffusionModel, image_nchw: jnp.ndarray,
         eps = model.unet_apply(model.unet_params, lat_in, t, ctx_b)
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         eps = eps_u + guidance_scale * (eps_c - eps_u)
-        latents = schedulers.ddim_step(sched, eps, t, latents)
+        latents, pstate = schedulers.pndm_step(sched, pstate, eps,
+                                               int(t_host), latents)
         if not nine_ch:
             # Re-impose known content outside the mask at the matching
-            # noise level.
-            prev_t = t - sched.step_ratio()
+            # noise level. The PLMS counter==1 step re-lands at the SAME
+            # noise level as step 0's target, so derive prev_t from the
+            # upcoming timestep in the list.
+            prev_t = (jnp.int32(timesteps[i + 1]) if i + 1 < len(timesteps)
+                      else jnp.int32(-1))
             rng, sub = jax.random.split(rng)
             known = schedulers.add_noise(sched, lat0,
                                          jax.random.normal(sub, lat0.shape),

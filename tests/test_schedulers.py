@@ -1,0 +1,218 @@
+"""Scheduler step-math and per-model-type selection (VERDICT r2 item 6).
+
+The reference picks DDIM or EulerDiscrete per model type
+(model_wrappers.py:419-459) and runs PNDM in its inpaint runner
+(model_wrappers.py:557-593). These tests pin each scheduler's update math
+to the published formulas and check the selection wiring has callers.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from comfystereo_tpu.diffusion import schedulers
+
+
+# ---------------------------------------------------------------------------
+# Exact-eps path tracking: with the analytically exact eps for a known
+# (x0, noise) pair, every scheduler must walk the forward path back to x0.
+# ---------------------------------------------------------------------------
+
+def _exact_eps_ddim_path(sched, x0, noise, t):
+    a = schedulers._alpha_at(sched, t)
+    x_t = jnp.sqrt(a) * x0 + jnp.sqrt(1.0 - a) * noise
+    return x_t, noise
+
+
+def test_ddim_recovers_x0_with_exact_eps():
+    sched = schedulers.make_ddim(25)
+    x0 = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4, 8, 8)),
+                     jnp.float32)
+    noise = jnp.asarray(np.random.default_rng(1).normal(size=x0.shape),
+                        jnp.float32)
+    t0 = jnp.int32(sched.timesteps[0])
+    x, _ = _exact_eps_ddim_path(sched, x0, noise, t0)
+    for t_host in sched.timesteps:
+        t = jnp.int32(t_host)
+        x = schedulers.ddim_step(sched, noise, t, x)
+    # The loop's exact endpoint is the path at final_alpha_cumprod
+    # (set_alpha_to_one=False keeps a_final = alphas_cumprod[0] < 1).
+    a_f = sched.final_alpha_cumprod
+    want = np.sqrt(a_f) * np.asarray(x0) + np.sqrt(1 - a_f) * np.asarray(
+        noise)
+    np.testing.assert_allclose(np.asarray(x), want, atol=1e-4)
+
+
+def test_euler_recovers_x0_with_exact_eps():
+    """Euler sigma-space path: x = x0 + sigma*n with eps = n steps exactly
+    to x0 (published EulerDiscrete update: derivative * (sigma_next -
+    sigma) from pred_x0 = x - sigma*eps)."""
+    sched = schedulers.make_euler(25)
+    x0 = jnp.asarray(np.random.default_rng(2).normal(size=(1, 4, 8, 8)),
+                     jnp.float32)
+    noise = jnp.asarray(np.random.default_rng(3).normal(size=x0.shape),
+                        jnp.float32)
+    x = x0 + float(sched.sigmas[0]) * noise
+    for t_host in sched.timesteps:
+        x = schedulers.euler_step(sched, noise, jnp.int32(t_host), x)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-3)
+
+
+def test_pndm_recovers_x0_with_exact_eps():
+    """The PNDM transfer formula is exact on the DDIM forward path for
+    exact eps, for every multistep combination (all ets equal n). The full
+    PLMS loop must therefore land on x0."""
+    sched = schedulers.make_pndm(25)
+    x0 = jnp.asarray(np.random.default_rng(4).normal(size=(1, 4, 8, 8)),
+                     jnp.float32)
+    noise = jnp.asarray(np.random.default_rng(5).normal(size=x0.shape),
+                        jnp.float32)
+    t0 = jnp.int32(sched.timesteps[0])
+    x, _ = _exact_eps_ddim_path(sched, x0, noise, t0)
+    state = schedulers.PNDMState()
+    for t_host in sched.timesteps:
+        x, state = schedulers.pndm_step(sched, state, noise, int(t_host), x)
+    a_f = sched.final_alpha_cumprod
+    want = np.sqrt(a_f) * np.asarray(x0) + np.sqrt(1 - a_f) * np.asarray(
+        noise)
+    np.testing.assert_allclose(np.asarray(x), want, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Published-formula parity, stateful reference implementations
+# ---------------------------------------------------------------------------
+
+def test_pndm_timesteps_published_layout():
+    """skip_prk_steps=True layout: descending, second-highest timestep
+    duplicated at positions 1/2, +1 steps_offset, n+1 entries total."""
+    sched = schedulers.make_pndm(10, num_train_timesteps=1000)
+    ts = sched.timesteps
+    assert len(ts) == 11
+    assert ts[0] == 901 and ts[1] == 801 and ts[2] == 801 and ts[3] == 701
+    assert ts[-1] == 1
+
+
+def test_pndm_step_matches_published_stateful_algorithm():
+    """Drive pndm_step with VARYING eps and compare against a direct
+    transcription of the published stateful PLMS algorithm (counter /
+    ets-window / Heun-correction semantics)."""
+    sched = schedulers.make_pndm(8)
+    rng = np.random.default_rng(6)
+    sample = rng.normal(size=(2, 3)).astype(np.float32)
+    eps_seq = [rng.normal(size=(2, 3)).astype(np.float32)
+               for _ in sched.timesteps]
+
+    # published stateful form
+    ac = sched.alphas_cumprod
+    ratio = sched.step_ratio()
+
+    def alpha(t):
+        return ac[t] if t >= 0 else sched.final_alpha_cumprod
+
+    def prev_sample(x, t, pt, mo):
+        a_t, a_p = alpha(t), alpha(pt)
+        b_t, b_p = 1 - a_t, 1 - a_p
+        coeff = (a_p / a_t) ** 0.5
+        denom = a_t * b_p ** 0.5 + (a_t * b_t * a_p) ** 0.5
+        return coeff * x - (a_p - a_t) * mo / denom
+
+    ets, counter, cur_sample = [], 0, None
+    want = sample.copy()
+    for t_host, eps in zip(sched.timesteps, eps_seq):
+        t = int(t_host)
+        pt = t - ratio
+        if counter != 1:
+            ets = ets[-3:] + [eps]
+        else:
+            pt, t = t, t + ratio
+        if len(ets) == 1 and counter == 0:
+            mo, cur_sample = eps, want
+        elif len(ets) == 1 and counter == 1:
+            mo = (eps + ets[-1]) / 2
+            want, cur_sample = cur_sample, None
+        elif len(ets) == 2:
+            mo = (3 * ets[-1] - ets[-2]) / 2
+        elif len(ets) == 3:
+            mo = (23 * ets[-1] - 16 * ets[-2] + 5 * ets[-3]) / 12
+        else:
+            mo = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3]
+                  - 9 * ets[-4]) / 24
+        want = prev_sample(want, t, pt, mo)
+        counter += 1
+
+    got = jnp.asarray(sample)
+    state = schedulers.PNDMState()
+    for t_host, eps in zip(sched.timesteps, eps_seq):
+        got, state = schedulers.pndm_step(sched, state, jnp.asarray(eps),
+                                          int(t_host), got)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
+
+
+def test_euler_step_published_formula():
+    sched = schedulers.make_euler(10)
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(4,)), jnp.float32)
+    eps = jnp.asarray(np.random.default_rng(8).normal(size=(4,)),
+                      jnp.float32)
+    i = 3
+    t = jnp.int32(sched.timesteps[i])
+    sigma, sigma_next = float(sched.sigmas[i]), float(sched.sigmas[i + 1])
+    want = np.asarray(x) + np.asarray(eps) * (sigma_next - sigma)
+    got = schedulers.euler_step(sched, eps, t, x)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
+    # scale_model_input: x / sqrt(sigma^2 + 1)
+    scaled = schedulers.scale_model_input(sched, x, t)
+    np.testing.assert_allclose(np.asarray(scaled),
+                               np.asarray(x) / np.sqrt(sigma ** 2 + 1),
+                               atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Selection wiring
+# ---------------------------------------------------------------------------
+
+def test_make_for_model_type_selection():
+    sd1 = schedulers.make_for_model_type("SD1", 10)
+    sd2 = schedulers.make_for_model_type("SD2", 10)
+    assert sd1.sigmas is None      # DDIM
+    assert sd2.sigmas is not None  # Euler (reference :419-459)
+    # generic step dispatch
+    x = jnp.ones((2, 2))
+    eps = jnp.zeros((2, 2))
+    out1 = schedulers.scheduler_step(sd1, eps, jnp.int32(sd1.timesteps[0]), x)
+    out2 = schedulers.scheduler_step(sd2, eps, jnp.int32(sd2.timesteps[0]), x)
+    assert out1.shape == out2.shape == (2, 2)
+
+
+def test_to_sigma_space_matches_parameterizations():
+    """sqrt(a)x0 + sqrt(1-a)n divided by sqrt(a) equals x0 + sigma*n with
+    sigma = sqrt((1-a)/a) — the exact bridge between DDIM inversion output
+    and Euler's sample space."""
+    sched = schedulers.make_euler(10)
+    x0 = np.random.default_rng(9).normal(size=(3,)).astype(np.float32)
+    n = np.random.default_rng(10).normal(size=(3,)).astype(np.float32)
+    t = jnp.int32(sched.timesteps[0])
+    a = float(schedulers._alpha_at(sched, t))
+    ddim_x = np.sqrt(a) * x0 + np.sqrt(1 - a) * n
+    sig_x = schedulers.to_sigma_space(sched, jnp.asarray(ddim_x), t)
+    sigma = np.sqrt((1 - a) / a)
+    np.testing.assert_allclose(np.asarray(sig_x), x0 + sigma * n, atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_text2stereo_euler_scheduler_runs():
+    """make_euler has a real caller: the SD2-family Standard path. Toy
+    model with 1024-d context triggers auto-selection; output is finite
+    and shaped."""
+    from comfystereo_tpu.diffusion import make_toy_model, text2stereo
+    from comfystereo_tpu.diffusion.models import UNetConfig
+
+    model = make_toy_model(image_size=32, cfg=UNetConfig(
+        base_channels=8, channel_mults=(1,), num_heads=2, context_dim=1024,
+        time_dim=16))
+    img = jnp.zeros((1, 3, 32, 32))
+    depth = jnp.linspace(0, 1, 32 * 32).reshape(1, 32, 32)
+    out = text2stereo(model, img, depth, "", num_inference_steps=3,
+                      null_text_optimization=False)
+    assert out.left.shape == (1, 32, 32, 3)
+    assert bool(jnp.isfinite(out.left).all())
+    assert bool(jnp.isfinite(out.right).all())
