@@ -314,19 +314,19 @@ def run_full(oracle_width=512):
     return results
 
 
-def run_sd():
-    """StereoDiffusion compute benchmarks at the reference's operating point
-    (512x512 latents, 50 steps, CFG — stereodiffusion_nodes.py:257-265),
-    using the SD-1.5-architecture flax stack with SD-shaped weights."""
+def _measure_sd_stack(dtype, tag):
+    """CFG UNet step / VAE decode / null-text inner step at the reference's
+    operating point (512x512, CFG — stereodiffusion_nodes.py:257-265) for
+    one compute dtype. Weights are zeros (same FLOPs; init is instant)."""
     import jax
     import jax.numpy as jnp
     from comfystereo_tpu.diffusion import porting as porting_mod
-    from comfystereo_tpu.diffusion.sd_unet import SDUNetConfig
+    from comfystereo_tpu.diffusion.sd_unet import SDUNet, SDUNetConfig
     from comfystereo_tpu.diffusion.sd_vae import SDVAEConfig
 
     model = porting_mod.build_sd_model(unet_cfg=SDUNetConfig(),
                                        vae_cfg=SDVAEConfig(),
-                                       init_mode="zeros")
+                                       init_mode="zeros", dtype=dtype)
     lat = jnp.zeros((2, 4, 64, 64), jnp.float32)   # CFG pair, 512x512
     ctx = jnp.zeros((2, 77, 768), jnp.float32)
 
@@ -355,40 +355,100 @@ def run_sd():
     # embedding (inversion.py null_optimization; ported models are
     # differentiable flax, so this runs natively). Reference README.md:263
     # quotes ~2-3 min for the whole null-text pipeline on a "modern GPU";
-    # worst case here is 50 timesteps x 10 inner steps.
-    from comfystereo_tpu.diffusion.sd_unet import SDUNet
-
+    # worst case here is 50 timesteps x 10 inner steps. Under bf16 the
+    # model computes in bf16 while the optimized embedding and its grad
+    # stay f32 (cast inside the loss, standard mixed-precision training).
     unet = SDUNet(SDUNetConfig())
-    lat1 = jnp.zeros((1, 4, 64, 64), jnp.float32)
+    lat1 = jnp.zeros((1, 4, 64, 64), dtype)
     u0 = jnp.zeros((1, 77, 768), jnp.float32)
 
     @jax.jit
     def nt_inner(params, uncond, lat, t, target):
         def loss(u):
-            eps = unet.apply(params, lat, t, u)
-            return jnp.mean((eps - target) ** 2)
+            eps = unet.apply(params, lat, t, u.astype(dtype))
+            return jnp.mean((eps.astype(jnp.float32) - target) ** 2)
         return jax.value_and_grad(loss)(uncond)
 
-    _, g = nt_inner(model.unet_params, u0, lat1, jnp.float32(500), lat1)
+    _, g = nt_inner(model.unet_params, u0, lat1, jnp.float32(500),
+                    lat1.astype(jnp.float32))
     sync(g)
     t0 = time.perf_counter()
     for _ in range(5):
-        _, g = nt_inner(model.unet_params, u0, lat1, jnp.float32(500), lat1)
+        _, g = nt_inner(model.unet_params, u0, lat1, jnp.float32(500),
+                        lat1.astype(jnp.float32))
     sync(g)
     nt_ms = (time.perf_counter() - t0) / 5 * 1e3
 
-    results = [
-        {"metric": "sd15_unet_cfg_step_512px", "value": round(step_ms, 2),
-         "unit": "ms"},
-        {"metric": "sd15_vae_decode_512px", "value": round(dec_ms, 2),
-         "unit": "ms"},
-        {"metric": "sd15_ddim_50step_estimate",
+    return [
+        {"metric": f"sd15_unet_cfg_step_512px_{tag}",
+         "value": round(step_ms, 2), "unit": "ms"},
+        {"metric": f"sd15_vae_decode_512px_{tag}",
+         "value": round(dec_ms, 2), "unit": "ms"},
+        {"metric": f"sd15_ddim_50step_estimate_{tag}",
          "value": round(50 * step_ms / 1e3 + dec_ms / 1e3, 2), "unit": "s"},
-        {"metric": "sd15_nulltext_inner_step", "value": round(nt_ms, 2),
-         "unit": "ms"},
-        {"metric": "sd15_nulltext_worst_case_estimate",
+        {"metric": f"sd15_nulltext_inner_step_{tag}",
+         "value": round(nt_ms, 2), "unit": "ms"},
+        {"metric": f"sd15_nulltext_worst_case_estimate_{tag}",
          "value": round(500 * nt_ms / 1e3, 1), "unit": "s",
          "reference": "~2-3 min on a modern GPU (README.md:263)"},
+    ]
+
+
+def run_sd():
+    """StereoDiffusion compute benchmarks, f32 and bf16 (VERDICT r2 item 2:
+    bf16 mixed-precision SD inference, measured)."""
+    import jax.numpy as jnp
+
+    results = _measure_sd_stack(jnp.float32, "f32")
+    results += _measure_sd_stack(jnp.bfloat16, "bf16")
+    for r in results:
+        print(json.dumps(r))
+    return results
+
+
+def run_sd_delta(seed=0):
+    """bf16-vs-f32 OUTPUT delta on random SD-1.5-scale weights: decode the
+    same latent through both stacks and report the post-VAE uint8 error
+    (the quantization point the reference's images leave the pipeline at),
+    plus the f32-vs-bf16 UNet eps error. Slower than --sd (full-scale
+    random init)."""
+    import jax
+    import jax.numpy as jnp
+    from comfystereo_tpu.diffusion import porting as porting_mod
+    from comfystereo_tpu.diffusion.sd_unet import SDUNetConfig
+    from comfystereo_tpu.diffusion.sd_vae import SDVAEConfig
+
+    rng = jax.random.PRNGKey(seed)
+    m32 = porting_mod.build_sd_model(unet_cfg=SDUNetConfig(),
+                                     vae_cfg=SDVAEConfig(), rng=rng,
+                                     init_mode="random", dtype=jnp.float32)
+    m16 = porting_mod.build_sd_model(
+        unet_cfg=SDUNetConfig(), vae_cfg=SDVAEConfig(),
+        unet_params=m32.unet_params, vae_params=m32.vae_params,
+        dtype=jnp.bfloat16)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 1))
+    lat = jax.random.normal(k1, (2, 4, 64, 64), jnp.float32)
+    ctx = jax.random.normal(k2, (2, 77, 768), jnp.float32) * 0.4
+
+    e32 = m32.unet_apply(m32.unet_params, lat, jnp.float32(500), ctx)
+    e16 = m16.unet_apply(m16.unet_params, lat, jnp.float32(500), ctx)
+    scale = float(jnp.abs(e32).mean())
+    eps_err = float(jnp.abs(e32 - e16).mean()) / max(scale, 1e-9)
+
+    d32 = m32.vae_decode(m32.vae_params, lat[:1])
+    d16 = m16.vae_decode(m16.vae_params, lat[:1])
+
+    def to_u8(x):
+        return jnp.trunc(jnp.clip(x / 2 + 0.5, 0, 1) * 255).astype(jnp.uint8)
+
+    du = jnp.abs(to_u8(d32).astype(jnp.int32) - to_u8(d16).astype(jnp.int32))
+    results = [
+        {"metric": "sd15_bf16_unet_eps_rel_err", "value": round(eps_err, 5),
+         "unit": "mean_abs/scale"},
+        {"metric": "sd15_bf16_vae_decode_u8_delta",
+         "value": float(jnp.mean(du)), "unit": "mean_lsb",
+         "max_lsb": int(jnp.max(du))},
     ]
     for r in results:
         print(json.dumps(r))
@@ -443,7 +503,11 @@ def main():
     parser.add_argument("--full", action="store_true",
                         help="benchmark all five BASELINE configs")
     parser.add_argument("--sd", action="store_true",
-                        help="benchmark the SD-1.5-scale diffusion stack")
+                        help="benchmark the SD-1.5-scale diffusion stack "
+                             "(f32 + bf16)")
+    parser.add_argument("--sd-delta", action="store_true",
+                        help="bf16-vs-f32 output delta on random SD-scale "
+                             "weights (slow: full-scale init)")
     parser.add_argument("--video", action="store_true",
                         help="end-to-end video decode->stereo->encode bench")
     parser.add_argument("--oracle-width", type=int, default=512,
@@ -452,6 +516,9 @@ def main():
 
     if args.sd:
         run_sd()
+        return
+    if args.sd_delta:
+        run_sd_delta()
         return
     if args.video:
         run_video()

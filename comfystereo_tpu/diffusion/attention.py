@@ -31,9 +31,15 @@ class AttentionMode:
 
 
 def standard_attention(q, k, v, scale: float) -> jnp.ndarray:
-    """Plain softmax attention. q,k,v: [B, H, N, D]."""
-    sim = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
-    attn = jax.nn.softmax(sim, axis=-1)
+    """Plain softmax attention. q,k,v: [B, H, N, D].
+
+    Logits and softmax accumulate in f32 regardless of input dtype (the
+    bf16 inference path keeps the MXU matmuls in bf16 while the numerically
+    sensitive normalization stays full-precision); the weights are cast
+    back to the value dtype for the second matmul."""
+    sim = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                     preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
     return jnp.einsum("bhnm,bhmd->bhnd", attn, v)
 
 

@@ -317,13 +317,19 @@ def build_sd_model(unet_cfg=None, vae_cfg=None, unet_params=None,
     # Jit at the model boundary: the denoising loops are host-side python,
     # so un-jitted applies would dispatch op-by-op (catastrophic over
     # remote-device relays; measured 7.1 s vs jitted per-step on v5e).
+    # Boundary casts make `dtype=bfloat16` a real mixed-precision mode:
+    # inputs drop to the param dtype on entry (so flax promotion doesn't
+    # silently run everything in f32) and outputs return f32 (scheduler
+    # math, masks, and the latent scale stay full-precision).
     from .attention import AttentionMode
 
     @functools.partial(jax.jit, static_argnames=("mode",))
     def _unet_jit(params, latents, t, context, stereo_active,
                   mode: AttentionMode):
-        return unet.apply(params, latents, t, context, mode=mode,
-                          stereo_active=stereo_active)
+        out = unet.apply(params, latents.astype(dtype),
+                         t, context.astype(dtype), mode=mode,
+                         stereo_active=stereo_active)
+        return out.astype(jnp.float32)
 
     def unet_apply(params, latents, t, context, mode=None,
                    stereo_active=False):
@@ -334,9 +340,11 @@ def build_sd_model(unet_cfg=None, vae_cfg=None, unet_params=None,
         unet_apply=unet_apply,
         unet_params=unet_params,
         vae_encode=jax.jit(
-            lambda p, x: vae.apply(p, x, method=SDVAE.encode)),
+            lambda p, x: vae.apply(p, x.astype(dtype), method=SDVAE.encode
+                                   ).astype(jnp.float32)),
         vae_decode=jax.jit(
-            lambda p, z: vae.apply(p, z, method=SDVAE.decode)),
+            lambda p, z: vae.apply(p, z.astype(dtype), method=SDVAE.decode
+                                   ).astype(jnp.float32)),
         vae_params=vae_params,
         text_encode=text_encode or HashTextEncoder(
             dim=unet_cfg.cross_attention_dim),

@@ -314,6 +314,10 @@ class SDUNet(nn.Module):
             t = jnp.full((x.shape[0],), t)
         temb = TimestepEmbedding(time_embed_dim, name="time_embedding")(
             sd_timestep_embedding(t, cfg.block_out_channels[0]))
+        # The sinusoid/MLP run in f32 (mixed-dtype promotion under bf16
+        # params); cast down so the resnet time projections don't upcast
+        # the whole conv path when inference runs in bf16.
+        temb = temb.astype(x.dtype)
 
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), name="conv_in")(x)
         skips = [x]

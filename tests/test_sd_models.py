@@ -398,3 +398,39 @@ def test_resolve_model_routing():
     # Unavailable model_id degrades to the offline toy model.
     m = _resolve_model(model_id="nonexistent/model-id")
     assert hasattr(m, "unet_apply")
+
+
+def test_bf16_inference_mode(tiny_unet_params, tiny_vae_params):
+    """bf16 build (VERDICT r2 item 2): boundary casts make the model
+    compute in bf16 (params stored bf16) while the interface stays f32,
+    and the outputs track the f32 stack within bf16 tolerance."""
+    from comfystereo_tpu.diffusion import porting as _p
+
+    _, uparams = tiny_unet_params
+    _, vparams = tiny_vae_params
+    m32 = _p.build_sd_model(unet_cfg=TINY_SD_UNET_CONFIG,
+                            vae_cfg=TINY_SD_VAE_CONFIG,
+                            unet_params=uparams,
+                            vae_params=vparams)
+    m16 = _p.build_sd_model(unet_cfg=TINY_SD_UNET_CONFIG,
+                            vae_cfg=TINY_SD_VAE_CONFIG,
+                            unet_params=uparams,
+                            vae_params=vparams,
+                            dtype=jnp.bfloat16)
+    leaf = jax.tree.leaves(m16.unet_params)[0]
+    assert leaf.dtype == jnp.bfloat16
+
+    lat = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 64)) * 0.3
+    e32 = m32.unet_apply(m32.unet_params, lat, jnp.float32(500), ctx)
+    e16 = m16.unet_apply(m16.unet_params, lat, jnp.float32(500), ctx)
+    assert e16.dtype == jnp.float32  # f32 at the interface
+    scale = float(jnp.abs(e32).mean()) + 1e-9
+    assert float(jnp.abs(e32 - e16).mean()) / scale < 0.1
+
+    img = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 32, 32)) * 0.5
+    z32 = m32.vae_encode(m32.vae_params, img)
+    z16 = m16.vae_encode(m16.vae_params, img)
+    assert z16.dtype == jnp.float32
+    zs = float(jnp.abs(z32).mean()) + 1e-9
+    assert float(jnp.abs(z32 - z16).mean()) / zs < 0.1
