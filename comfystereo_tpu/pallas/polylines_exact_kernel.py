@@ -17,6 +17,15 @@ positions the stack at the window start and each iteration advances with a
 static 1-lane cyclic roll (carrying only the packed stack — per-piece
 accumulators live in VMEM scratch and are mutated in place). The window's
 trip count comes from the row-block's measured (coord + separation) range.
+
+Round-3 lever: the per-piece work inside the window walk is predicated on
+the row-block's MEASURED piece demand (valid_k is monotone in k, so the
+per-pixel piece count is val.sum and the block's bound its max). Flat
+depth regions need only 2-3 of the max_pieces=12 sub-intervals; pieces a
+block never reaches are a skipped pl.when branch, cutting the dominant
+per-step cost by the same factor. Predication cannot change results:
+piece k >= kmax has val==0 for every pixel of the block, so its
+contribution is already gated to zero in the finalize.
 """
 from __future__ import annotations
 
@@ -34,12 +43,12 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _scan_kernel(cols_ref, x_ref, cl_ref, r_ref, g_ref, b_ref,
+def _scan_kernel(kmax_ref, cols_ref, x_ref, cl_ref, r_ref, g_ref, b_ref,
                  cen_ref, sig_ref, val_ref, ar_ref, ag_ref, ab_ref,
                  or_ref, og_ref, ob_ref,
                  bcl_ref, bcol_ref, nact_ref, fbx_ref, fbcol_ref, *,
-                 w: int, wp: int, rblock: int, k_pieces: int, sharp: bool,
-                 max_disp: int, finalize: bool):
+                 w: int, wp: int, rblock: int, k_pieces: int, k0: int,
+                 sharp: bool, max_disp: int, finalize: bool):
     eps = jnp.float32(1e-7)
     hw = jnp.float32(0.45 if sharp else 0.0)
     inf = jnp.float32(1e30)
@@ -51,6 +60,11 @@ def _scan_kernel(cols_ref, x_ref, cl_ref, r_ref, g_ref, b_ref,
     cl = cl_ref[:]
     sent_l = jnp.float32(-1.0 * w)
     sent_r = jnp.float32(2.0 * w)
+
+    # This chunk's live piece count: the block demands kmax pieces total,
+    # of which this chunk (a VMEM-driven split at 4K widths) owns
+    # [k0, k0 + k_pieces).
+    khi = jnp.clip(kmax_ref[pl.program_id(0), 0] - k0, 0, k_pieces)
 
     # Init accumulators: best_cl=-eps, n_act=0, fb_x0=inf, colors 0.
     for k in range(k_pieces):
@@ -67,24 +81,31 @@ def _scan_kernel(cols_ref, x_ref, cl_ref, r_ref, g_ref, b_ref,
         """col_l/col_r: 3-tuples of [rblock, wp] channel planes."""
         denom = x1 - x0
         safe = jnp.where(denom == 0.0, 1.0, denom)
+        # Static unroll, each piece predicated on the block's measured
+        # demand: every ref address stays static (a fori_loop with
+        # dynamic-offset scratch stores blows Mosaic's scoped-vmem stack)
+        # while pieces the block never reaches are a skipped branch.
         for k in range(k_pieces):
-            center = cen_ref[k]
-            active = cand_ok & (x0 < center) & (x1 >= center)
-            ip = (center - x0) / safe
-            clp = (1.0 - ip) * cl0 + ip * cl1
-            qual = active & (ip > 0.0) & (ip < 1.0)
-            sl = slice(k * rblock, (k + 1) * rblock)
-            better = qual & (clp > bcl_ref[sl])
-            bcl_ref[sl] = jnp.where(better, clp, bcl_ref[sl])
-            fb_take = active & (x0 < fbx_ref[sl])
-            fbx_ref[sl] = jnp.where(fb_take, x0, fbx_ref[sl])
-            nact_ref[sl] = nact_ref[sl] + active.astype(jnp.float32)
-            for ch in range(3):
-                cval = col_l[ch] if flat else (
-                    col_l[ch] * (1.0 - ip) + col_r[ch] * ip)
-                co = slice((k * 3 + ch) * rblock, (k * 3 + ch + 1) * rblock)
-                bcol_ref[co] = jnp.where(better, cval, bcol_ref[co])
-                fbcol_ref[co] = jnp.where(fb_take, cval, fbcol_ref[co])
+            @pl.when(khi > k)
+            def _piece(k=k):
+                center = cen_ref[k]
+                active = cand_ok & (x0 < center) & (x1 >= center)
+                ip = (center - x0) / safe
+                clp = (1.0 - ip) * cl0 + ip * cl1
+                qual = active & (ip > 0.0) & (ip < 1.0)
+                sl = slice(k * rblock, (k + 1) * rblock)
+                better = qual & (clp > bcl_ref[sl])
+                bcl_ref[sl] = jnp.where(better, clp, bcl_ref[sl])
+                fb_take = active & (x0 < fbx_ref[sl])
+                fbx_ref[sl] = jnp.where(fb_take, x0, fbx_ref[sl])
+                nact_ref[sl] = nact_ref[sl] + active.astype(jnp.float32)
+                for ch in range(3):
+                    cval = col_l[ch] if flat else (
+                        col_l[ch] * (1.0 - ip) + col_r[ch] * ip)
+                    co = slice((k * 3 + ch) * rblock,
+                               (k * 3 + ch + 1) * rblock)
+                    bcol_ref[co] = jnp.where(better, cval, bcol_ref[co])
+                    fbcol_ref[co] = jnp.where(fb_take, cval, fbcol_ref[co])
 
     # Sentinel segments (reference :1920, :1936): evaluated once.
     img = (r_ref[:], g_ref[:], b_ref[:])
@@ -142,7 +163,9 @@ def _scan_kernel(cols_ref, x_ref, cl_ref, r_ref, g_ref, b_ref,
                             (cp >= 0) & (cp <= w - 2), False)
         return nxt
 
-    packed = jax.lax.fori_loop(0, d_hi - d_lo + 1, body, packed)
+    # A block whose chunk owns no live pieces skips the walk entirely.
+    trips = jnp.where(khi > 0, d_hi - d_lo + 1, 0)
+    packed = jax.lax.fori_loop(0, trips, body, packed)
     del packed
 
     # Resolve winners and integrate, continuing the carried accumulator
@@ -202,11 +225,24 @@ def polylines_exact_scanline(x, cl, red, green, blue, centers, sigs, valids,
     sig = pad3(sigs)
     val = pad3(valids)
     planes = (pad2(x), pad2(cl), pad2(red), pad2(green), pad2(blue))
+
+    # Measured piece demand per row-block: valid_k is monotone in k (sorted
+    # breakpoints), so the per-pixel piece count is a sum over k and the
+    # block's bound its max. Pieces beyond a block's demand are skipped in
+    # the kernel's predicated inner loop (padding rows demand 0 pieces).
+    counts = val.sum(axis=0)  # [npad, wp]
+    kmax = counts.reshape(npad // rblock, rblock * wp).max(axis=1)
+    kmax = jnp.ceil(kmax).astype(jnp.int32).reshape(-1, 1)
+
     grid = (npad // rblock,)
     spec = pl.BlockSpec((rblock, wp), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     cols_spec = pl.BlockSpec((rblock, wp), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
+    # Whole-array SMEM block (Mosaic wants block dims divisible by (8, 128)
+    # or equal to the array's); indexed by program_id in-kernel.
+    kmax_spec = pl.BlockSpec((npad // rblock, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
 
     accs = tuple(jnp.full((npad, wp), 0.5, jnp.float32) for _ in range(3))
     for k0 in range(0, k_pieces, k_chunk):
@@ -215,14 +251,15 @@ def polylines_exact_scanline(x, cl, red, green, blue, centers, sigs, valids,
         kspec = pl.BlockSpec((kc, rblock, wp), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)
         kernel = functools.partial(_scan_kernel, w=w, wp=wp, rblock=rblock,
-                                   k_pieces=kc, sharp=sharp,
+                                   k_pieces=kc, k0=k0, sharp=sharp,
                                    max_disp=max_disp, finalize=finalize)
         accs = pl.pallas_call(
             kernel,
             out_shape=tuple(jax.ShapeDtypeStruct((npad, wp), jnp.float32)
                             for _ in range(3)),
             grid=grid,
-            in_specs=[cols_spec] + [spec] * 5 + [kspec] * 3 + [spec] * 3,
+            in_specs=[kmax_spec, cols_spec] + [spec] * 5 + [kspec] * 3
+                     + [spec] * 3,
             out_specs=(spec,) * 3,
             scratch_shapes=[
                 pltpu.VMEM((kc * rblock, wp), jnp.float32),      # best_cl
@@ -232,6 +269,6 @@ def polylines_exact_scanline(x, cl, red, green, blue, centers, sigs, valids,
                 pltpu.VMEM((kc * 3 * rblock, wp), jnp.float32),  # fb col
             ],
             interpret=interpret,
-        )(cols, *planes, cen[k0:k0 + kc], sig[k0:k0 + kc],
+        )(kmax, cols, *planes, cen[k0:k0 + kc], sig[k0:k0 + kc],
           val[k0:k0 + kc], *accs)
     return tuple(o[:n, :w] for o in accs)
