@@ -42,6 +42,9 @@ def iter_frame_chunks(video_path: str, chunk: int, gray: bool = False,
     if not CV2_AVAILABLE:
         raise RuntimeError("cv2 unavailable; video streaming disabled")
     cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():  # cv2 treats a bad path as a 0-frame stream
+        cap.release()
+        raise RuntimeError(f"cannot open video: {video_path}")
     fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
     if raw:
         convert = lambda x: x  # noqa: E731
@@ -70,6 +73,8 @@ def video_fps(video_path: str) -> float:
         raise RuntimeError("cv2 unavailable; video streaming disabled")
     cap = cv2.VideoCapture(video_path)
     try:
+        if not cap.isOpened():
+            raise RuntimeError(f"cannot open video: {video_path}")
         return cap.get(cv2.CAP_PROP_FPS) or 30.0
     finally:
         cap.release()
@@ -117,6 +122,14 @@ def convert_video(video_path: str, depth_video_path: str, out_path: str,
     device program — 4x less interconnect traffic than shipping f32, and
     the host's per-chunk work reduces to stacking decoder output and
     feeding the encoder.
+
+    Three-stage thread pipeline: a producer thread decodes, the main
+    thread dispatches device compute, and a consumer thread performs the
+    device->host readback and feeds the encoder — so decode(next) |
+    compute(current) | encode(prev) genuinely overlap (cv2 releases the
+    GIL in both codecs, and the d2h copy blocks only the consumer).
+    Both queues are bounded at 2 chunks, capping host memory at
+    ~6 chunks across the stages.
     """
     import jax.numpy as jnp
 
@@ -127,14 +140,9 @@ def convert_video(video_path: str, depth_video_path: str, out_path: str,
 
     cfg = cfg or StereoConfig()
     fps = video_fps(video_path)
-    writer = None
-    total = 0
 
-    # Producer thread: cv2 decode runs off the dispatch thread (cv2
-    # releases the GIL), bounded at 2 chunks so at most
-    # decode(next) | compute(current) | write(prev) are in flight together.
     chunk_q: "queue.Queue" = queue.Queue(maxsize=2)
-    produce_error: list = []  # producer exception, re-raised in the consumer
+    produce_error: list = []  # producer exception, re-raised after join
 
     def _produce():
         try:
@@ -149,21 +157,36 @@ def convert_video(video_path: str, depth_video_path: str, out_path: str,
         finally:
             chunk_q.put(None)
 
-    reader = threading.Thread(target=_produce, daemon=True)
-    reader.start()
-    pending = None  # (device_out, n_frames) pipeline: one chunk in flight
+    write_q: "queue.Queue" = queue.Queue(maxsize=2)
+    write_error: list = []  # consumer exception, re-raised after join
+    written = [0]  # frames encoded so far (int in a list: GIL-atomic set)
+    writer_box: list = [None]  # cv2.VideoWriter, created on first frame
 
-    def flush(entry):
-        nonlocal writer, total
-        out_dev, n = entry
-        arr = np.asarray(out_dev)  # BGR uint8, ready for the encoder
-        for f in arr[:n]:
-            if writer is None:
-                h, w = f.shape[:2]
-                writer = cv2.VideoWriter(
-                    out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
-            writer.write(f)
-        total += n
+    def _consume():
+        try:
+            while True:
+                entry = write_q.get()
+                if entry is None:
+                    return
+                out_dev, n = entry
+                arr = np.asarray(out_dev)  # d2h; blocks this thread only
+                for f in arr[:n]:
+                    if writer_box[0] is None:
+                        h, w = f.shape[:2]
+                        writer_box[0] = cv2.VideoWriter(
+                            out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                            (w, h))
+                    writer_box[0].write(f)
+                written[0] += n
+        except BaseException as exc:
+            write_error.append(exc)
+            while write_q.get() is not None:  # drain; don't deadlock puts
+                pass
+
+    reader = threading.Thread(target=_produce, daemon=True)
+    encoder = threading.Thread(target=_consume, daemon=True)
+    reader.start()
+    encoder.start()
 
     def pad_to_batch(x):
         if len(x) == cfg.batch_size:
@@ -171,6 +194,7 @@ def convert_video(video_path: str, depth_video_path: str, out_path: str,
         reps = np.zeros((cfg.batch_size - len(x),) + x.shape[1:], x.dtype)
         return np.concatenate([x, reps], axis=0)
 
+    total = 0
     while True:
         item = chunk_q.get()
         if item is None:
@@ -179,22 +203,23 @@ def convert_video(video_path: str, depth_video_path: str, out_path: str,
         n = min(len(imgs), len(deps))
         out = _device_chunk(jnp.asarray(pad_to_batch(imgs[:n])),
                             jnp.asarray(pad_to_batch(deps[:n])), cfg)
-        entry = (out, n)
-        if pending is not None:
-            flush(pending)          # overlaps with the chunk just dispatched
-        pending = entry
+        write_q.put((out, n))  # async value; consumer blocks on readiness
+        total += n
         if progress:
-            print(f"\rconverted {total} frames", end="", flush=True)
+            print(f"\rconverted {written[0]} frames", end="", flush=True)
     reader.join()
+    write_q.put(None)
+    encoder.join()
+    if writer_box[0] is not None:
+        writer_box[0].release()
     if produce_error:
-        if writer is not None:
-            writer.release()
         raise RuntimeError(
-            f"video decode failed after {total} frames") from produce_error[0]
-    if pending is not None:
-        flush(pending)
-    if writer is not None:
-        writer.release()
+            f"video decode failed after {written[0]} frames"
+        ) from produce_error[0]
+    if write_error:
+        raise RuntimeError(
+            f"video encode failed after {written[0]} frames"
+        ) from write_error[0]
     if progress:
-        print(f"\rconverted {total} frames")
+        print(f"\rconverted {written[0]} frames")
     return total
