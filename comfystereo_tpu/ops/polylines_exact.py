@@ -271,18 +271,13 @@ def _polylines_exact_impl(image, coord, sep_px, sharp: bool,
         colsf = jnp.arange(w, dtype=jnp.float32)
         x = (colsf + 0.5 + coord + sep_px).reshape(n, w)
         cl = jnp.abs(coord).reshape(n, w)
-        centers, sigs, valids = _piece_geometry(
-            x.reshape(b, h, w), cl.reshape(b, h, w), sharp, max_pieces,
-            max_disp)
         img = jnp.moveaxis(image.astype(jnp.float32), -1, 0).reshape(c, n, w)
         pl3 = [img[i] for i in range(min(c, 3))]
         while len(pl3) < 3:
             pl3.append(pl3[-1])
+        # Piece geometry (breakpoint collection) happens IN the kernel.
         outs = polylines_exact_scanline(
             x, cl, pl3[0], pl3[1], pl3[2],
-            centers.reshape(max_pieces, n, w),
-            sigs.reshape(max_pieces, n, w),
-            valids.reshape(max_pieces, n, w),
             w=w, k_pieces=max_pieces, sharp=sharp, max_disp=max_disp,
             interpret=jax.default_backend() != "tpu")
         return jnp.stack([o.reshape(b, h, w) for o in outs[:max(c, 1)]],

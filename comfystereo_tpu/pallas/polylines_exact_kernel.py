@@ -1,31 +1,49 @@
-"""Fused exact-polylines winner scan (Pallas/Mosaic).
+"""Fused exact-polylines renderer (Pallas/Mosaic) — geometry AND winner scan.
 
-Companion to ops/polylines_exact.py: the piece geometry (point sort, rank
-search, breakpoints) is XLA work; this kernel runs the expensive part — for
-every output pixel's K sub-interval centers, scan the candidate segments
-owned by source columns col + d over a dynamic window in ascending source
-order, keeping the reference's strict-max interpolated closeness plus the
-lowest-x0 fallback, and accumulate winner-color * significance into the
-0.5-biased accumulator (reference stereoimage_generation.py:1947-1991).
+Companion to ops/polylines_exact.py. The kernel reproduces the reference's
+per-pixel exact integration (stereoimage_generation.py:1947-1991): per output
+pixel, breakpoints are the sorted warped point positions inside [col, col+1);
+at each (epsilon-shrunk) sub-interval's center it picks, among the ACTIVE
+segments (x0 < center <= x1), the one with maximum interpolated closeness
+(strict improvement, 0 < ip < 1, lowest-x0 fallback), and accumulates
+color(center) * significance into the 0.5-biased accumulator.
 
 Identical f32 expression forms to the XLA path and the loop oracle, so the
 kernel preserves uint8 bit-parity.
 
-Vectorization: rows on sublanes, columns on lanes. The five per-column
-planes (x, cl, r, g, b) are packed along sublanes; one dynamic pltpu.roll
-positions the stack at the window start and each iteration advances with a
-static 1-lane cyclic roll (carrying only the packed stack — per-piece
-accumulators live in VMEM scratch and are mutated in place). The window's
-trip count comes from the row-block's measured (coord + separation) range.
+Round-3 redesign: profiling showed the XLA-side piece geometry (a global
+jnp.sort per row + windowed rank search + 13 bounded gathers) was ~75% of
+exact-mode wall time (28.5 of 34 ms at 1080p, 135 of 174 ms at 4K on v5e).
+The geometry is now computed IN-KERNEL with no sort at all:
 
-Round-3 lever: the per-piece work inside the window walk is predicated on
-the row-block's MEASURED piece demand (valid_k is monotone in k, so the
-per-pixel piece count is val.sum and the block's bound its max). Flat
-depth regions need only 2-3 of the max_pieces=12 sub-intervals; pieces a
-block never reaches are a skipped pl.when branch, cutting the dominant
-per-step cost by the same factor. Predication cannot change results:
-piece k >= kmax has val==0 for every pixel of the block, so its
-contribution is already gated to zero in the finalize.
+  WALK 1 (breakpoint collect): sweep the same candidate window as the winner
+  scan, maintaining per pixel (a) the running MAX of visited points below
+  `col` — the piece-0 start, init to the left sentinel -w — and (b) the K
+  smallest points >= col in sorted order via a K-slot bubble insert. This
+  is exactly the information the global sort provided: sorted breakpoints
+  q0-1 .. q0+K for each pixel. Sortedness comes from the insert, so visit
+  order is irrelevant; the candidate window covers every point a pixel can
+  see (a far-away nearest-below point forces the intermediate sources'
+  displacements to span the gap, so the measured m-range window includes
+  its d — the same interval property the winner scan relies on).
+
+  Pieces (centers/sigs/valids) are then built in VMEM with the oracle's
+  expressions, and WALK 2 runs the winner scan over the same window.
+
+Vectorization: rows on sublanes, columns on lanes. Walk 1 rolls only the
+point plane; walk 2 rolls the packed (x, cl, r, g, b) stack. One dynamic
+pltpu.roll positions each at the window start; each iteration advances with
+a static 1-lane cyclic roll. Per-piece work in walk 2 is PREDICATED on the
+tile's measured piece demand (computed from the collected slots — pieces a
+tile never reaches are a skipped pl.when branch; their val is 0 so the
+finalize already gates them to zero).
+
+COLUMN TILING: inputs live in ANY/HBM space and each program DMAs a
+(cb + 2*halo)-lane window into VMEM scratch, so per-piece accumulators are
+only cb lanes wide and every piece fits in one pass at any real resolution.
+Narrow images (<= 2048 px) keep the single-tile layout (halo = 0, cyclic-
+roll aliasing guarded by the candidate i-bound checks); tiles with halo > 0
+never alias because |d| <= max_disp + 4 < halo.
 """
 from __future__ import annotations
 
@@ -43,57 +61,148 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _scan_kernel(kmax_ref, cols_ref, x_ref, cl_ref, r_ref, g_ref, b_ref,
-                 cen_ref, sig_ref, val_ref, ar_ref, ag_ref, ab_ref,
-                 or_ref, og_ref, ob_ref,
-                 bcl_ref, bcol_ref, nact_ref, fbx_ref, fbcol_ref, *,
-                 w: int, wp: int, rblock: int, k_pieces: int, k0: int,
-                 sharp: bool, max_disp: int, finalize: bool):
+def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, r_hbm, g_hbm, b_hbm,
+                 ar_hbm, ag_hbm, ab_hbm, or_hbm, og_hbm, ob_hbm,
+                 src_s, sent_s, acc_s, slots_ref, cen_s, sig_s, val_s,
+                 bcl_ref, bcol_ref, nact_ref, fbx_ref, fbcol_ref, sems, *,
+                 w: int, cb: int, halo: int, rblock: int, k_total: int,
+                 k_pieces: int, k0: int, sharp: bool, max_disp: int,
+                 finalize: bool):
     eps = jnp.float32(1e-7)
     hw = jnp.float32(0.45 if sharp else 0.0)
     inf = jnp.float32(1e30)
-    cols_i = cols_ref[:]
-    cols = cols_i.astype(jnp.float32)
-    in_img = cols_i < w
+    local = cb + 2 * halo
+    o0 = halo  # static lane offset of the output columns in the window
 
-    x = x_ref[:]
-    cl = cl_ref[:]
-    sent_l = jnp.float32(-1.0 * w)
-    sent_r = jnp.float32(2.0 * w)
+    ib = pl.program_id(0)
+    jb = pl.program_id(1)
+    row0 = pl.multiple_of(ib * rblock, rblock)
+    # Source planes are halo-padded (col c lives at lane halo + c), so the
+    # window for output cols [jb*cb, ...) starts at padded lane jb*cb; the
+    # output-aligned arrays (acc/out) use the same offset.
+    col0 = pl.multiple_of(jb * cb, _LANES)
 
-    # This chunk's live piece count: the block demands kmax pieces total,
-    # of which this chunk (a VMEM-driven split at 4K widths) owns
-    # [k0, k0 + k_pieces).
-    khi = jnp.clip(kmax_ref[pl.program_id(0), 0] - k0, 0, k_pieces)
+    copies = [pltpu.make_async_copy(
+        cols_hbm.at[pl.ds(0, rblock), pl.ds(col0, local)],
+        src_s.at[0], sems.at[0])]
+    for k, ref in enumerate((x_hbm, cl_hbm, r_hbm, g_hbm, b_hbm), start=1):
+        copies.append(pltpu.make_async_copy(
+            ref.at[pl.ds(row0, rblock), pl.ds(col0, local)],
+            src_s.at[k], sems.at[k]))
+    copies.append(pltpu.make_async_copy(
+        sent_hbm.at[pl.ds(row0, rblock), :], sent_s, sems.at[6]))
+    for i, ref in enumerate((ar_hbm, ag_hbm, ab_hbm)):
+        copies.append(pltpu.make_async_copy(
+            ref.at[pl.ds(row0, rblock), pl.ds(col0, cb)],
+            acc_s.at[i], sems.at[7 + i]))
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
 
-    # Init accumulators: best_cl=-eps, n_act=0, fb_x0=inf, colors 0.
+    win_cols = src_s[0]            # global column ids (f32; halo pads < 0)
+    x = src_s[1]
+    cl = src_s[2]
+    img = (src_s[3], src_s[4], src_s[5])
+    out_colsf = win_cols[:, o0:o0 + cb]
+    out_cols = out_colsf.astype(jnp.int32)
+    colp1 = out_colsf + 1.0
+
+    # Dynamic window from the tile's measured m = x - (col + 0.5) range
+    # (halo columns included — they can only widen the window, never change
+    # results: out-of-range candidates fail the activity checks).
+    in_src = (win_cols >= 0.0) & (win_cols < float(w))
+    m = jnp.where(in_src, x - (win_cols + 0.5), 0.0)
+    r_static = max_disp + 4
+    d_lo = jnp.maximum(jnp.floor(-jnp.max(m)).astype(jnp.int32) - 2,
+                       -r_static)
+    d_hi = jnp.minimum(jnp.ceil(-jnp.min(m)).astype(jnp.int32) + 2, r_static)
+    trips = d_hi - d_lo + 1
+    shift0 = jnp.mod(-d_lo, local)
+
+    # ---- WALK 1: collect each pixel's breakpoints. --------------------
+    # slots[j] = (j+1)-th smallest visited point >= col (init +inf);
+    # m0 = max visited point < col (init left sentinel -w).
+    for j in range(k_total):
+        slots_ref[j * rblock:(j + 1) * rblock] = jnp.full((rblock, cb), inf)
+    xroll = pltpu.roll(x, shift0, axis=1)
+
+    def body1(t, carry):
+        cur, m0 = carry
+        d = d_lo + t
+        cp = out_cols + d
+        okc = (cp >= 0) & (cp <= w - 1)
+        xv = cur[:, o0:o0 + cb]
+        pvs = (xv - hw, xv + hw) if sharp else (xv,)
+        for pv in pvs:
+            below = pv < out_colsf
+            m0 = jnp.maximum(m0, jnp.where(okc & below, pv, -inf))
+            carryv = jnp.where(okc & ~below, pv, inf)
+            for j in range(k_total):
+                sl = slice(j * rblock, (j + 1) * rblock)
+                s = slots_ref[sl]
+                slots_ref[sl] = jnp.minimum(s, carryv)
+                carryv = jnp.maximum(s, carryv)
+        return pltpu.roll(cur, local - 1, axis=1), m0
+
+    m0_init = jnp.full((rblock, cb), jnp.float32(-1.0 * w))
+    _, m0 = jax.lax.fori_loop(0, trips, body1, (xroll, m0_init))
+
+    # ---- Pieces from the collected breakpoints (oracle expressions). ---
+    # Piece k: xq = sorted[q0+k] (k=0 -> m0, else slots[k-1]); xq1 =
+    # sorted[q0+k+1] = slots[k]. +inf slots behave exactly like the right
+    # sentinel: t clips to col+1 and the validity chain stops.
+    demand = jnp.ones((rblock, cb), jnp.float32)
+    for j in range(k_total - 1):
+        sj = slots_ref[j * rblock:(j + 1) * rblock]
+        demand = demand + (sj < colp1).astype(jnp.float32)
+    khi = jnp.clip(jnp.max(demand).astype(jnp.int32) - k0, 0, k_pieces)
+
     for k in range(k_pieces):
-        bcl_ref[k * rblock:(k + 1) * rblock] = jnp.full((rblock, wp), -eps)
-        nact_ref[k * rblock:(k + 1) * rblock] = jnp.zeros((rblock, wp),
+        kg = k0 + k
+        if kg == 0:
+            xq = m0
+            valid = jnp.ones((rblock, cb), jnp.float32)
+        else:
+            xq = slots_ref[(kg - 1) * rblock:kg * rblock]
+            valid = (xq < colp1).astype(jnp.float32)
+        xq1 = slots_ref[kg * rblock:(kg + 1) * rblock]
+        f_k = jnp.maximum(out_colsf, xq) + eps
+        t_k = jnp.minimum(colp1, xq1) - eps
+        sig = t_k - f_k
+        sl = slice(k * rblock, (k + 1) * rblock)
+        cen_s[sl] = f_k + 0.5 * sig
+        sig_s[sl] = sig
+        val_s[sl] = valid
+
+    # ---- Init winner accumulators. -------------------------------------
+    for k in range(k_pieces):
+        bcl_ref[k * rblock:(k + 1) * rblock] = jnp.full((rblock, cb), -eps)
+        nact_ref[k * rblock:(k + 1) * rblock] = jnp.zeros((rblock, cb),
                                                           jnp.float32)
-        fbx_ref[k * rblock:(k + 1) * rblock] = jnp.full((rblock, wp), inf)
+        fbx_ref[k * rblock:(k + 1) * rblock] = jnp.full((rblock, cb), inf)
         for ch in range(3):
             off = (k * 3 + ch) * rblock
-            bcol_ref[off:off + rblock] = jnp.zeros((rblock, wp), jnp.float32)
-            fbcol_ref[off:off + rblock] = jnp.zeros((rblock, wp), jnp.float32)
+            bcol_ref[off:off + rblock] = jnp.zeros((rblock, cb), jnp.float32)
+            fbcol_ref[off:off + rblock] = jnp.zeros((rblock, cb), jnp.float32)
 
     def consider_all_pieces(x0, x1, cl0, cl1, col_l, col_r, cand_ok, flat):
-        """col_l/col_r: 3-tuples of [rblock, wp] channel planes."""
+        """col_l/col_r: 3-tuples of [rblock, cb] channel planes."""
         denom = x1 - x0
         safe = jnp.where(denom == 0.0, 1.0, denom)
-        # Static unroll, each piece predicated on the block's measured
+        # Static unroll, each piece predicated on the tile's measured
         # demand: every ref address stays static (a fori_loop with
         # dynamic-offset scratch stores blows Mosaic's scoped-vmem stack)
-        # while pieces the block never reaches are a skipped branch.
+        # while pieces the tile never reaches are a skipped branch.
         for k in range(k_pieces):
             @pl.when(khi > k)
             def _piece(k=k):
-                center = cen_ref[k]
+                sl = slice(k * rblock, (k + 1) * rblock)
+                center = cen_s[sl]
                 active = cand_ok & (x0 < center) & (x1 >= center)
                 ip = (center - x0) / safe
                 clp = (1.0 - ip) * cl0 + ip * cl1
                 qual = active & (ip > 0.0) & (ip < 1.0)
-                sl = slice(k * rblock, (k + 1) * rblock)
                 better = qual & (clp > bcl_ref[sl])
                 bcl_ref[sl] = jnp.where(better, clp, bcl_ref[sl])
                 fb_take = active & (x0 < fbx_ref[sl])
@@ -107,54 +216,48 @@ def _scan_kernel(kmax_ref, cols_ref, x_ref, cl_ref, r_ref, g_ref, b_ref,
                     bcol_ref[co] = jnp.where(better, cval, bcol_ref[co])
                     fbcol_ref[co] = jnp.where(fb_take, cval, fbcol_ref[co])
 
-    # Sentinel segments (reference :1920, :1936): evaluated once.
-    img = (r_ref[:], g_ref[:], b_ref[:])
-    first_x = jnp.min(jnp.where(cols_i == 0, x, inf), axis=1,
-                      keepdims=True) - hw
-    last_x = jnp.max(jnp.where(cols_i == w - 1, x, -inf), axis=1,
-                     keepdims=True) + hw
-    cl_first = jnp.max(jnp.where(cols_i == 0, cl, -inf), axis=1,
+    # Sentinel segments (reference :1920, :1936): per-row scalars
+    # precomputed in XLA (cols 0 and w-1 live in other tiles) and extracted
+    # from the 128-lane sentinel plane by masked sums.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rblock, 128), 1)
+
+    def sget(j):
+        return jnp.sum(jnp.where(lane == j, sent_s[:], 0.0), axis=1,
                        keepdims=True)
-    cl_last = jnp.max(jnp.where(cols_i == w - 1, cl, -inf), axis=1,
-                      keepdims=True)
-    img_first = tuple(jnp.max(jnp.where(cols_i == 0, p, -inf), axis=1,
-                              keepdims=True) + jnp.zeros((rblock, wp))
-                      for p in img)
-    img_last = tuple(jnp.max(jnp.where(cols_i == w - 1, p, -inf), axis=1,
-                             keepdims=True) + jnp.zeros((rblock, wp))
-                     for p in img)
-    ones = jnp.ones((rblock, wp), bool)
-    zeros = jnp.zeros((rblock, wp), jnp.float32)
-    consider_all_pieces(jnp.full((rblock, wp), sent_l),
-                        first_x + zeros, zeros, cl_first + zeros,
+
+    zeros = jnp.zeros((rblock, cb), jnp.float32)
+    ones = jnp.ones((rblock, cb), bool)
+    first_x = sget(0) + zeros
+    last_x = sget(1) + zeros
+    cl_first = sget(2) + zeros
+    cl_last = sget(3) + zeros
+    img_first = tuple(sget(4 + ch) + zeros for ch in range(3))
+    img_last = tuple(sget(7 + ch) + zeros for ch in range(3))
+    sent_l = jnp.float32(-1.0 * w)
+    sent_r = jnp.float32(2.0 * w)
+    consider_all_pieces(jnp.full((rblock, cb), sent_l),
+                        first_x, zeros, cl_first,
                         img_first, img_first, ones, True)
-    consider_all_pieces(last_x + zeros,
-                        jnp.full((rblock, wp), sent_r),
-                        cl_last + zeros, zeros,
+    consider_all_pieces(last_x, jnp.full((rblock, cb), sent_r),
+                        cl_last, zeros,
                         img_last, img_last, ones, True)
 
-    # Dynamic window from the block's measured m = x - (col + 0.5) range.
-    m = jnp.where(in_img, x - (cols + 0.5), 0.0)
-    r_static = max_disp + 4
-    d_lo = jnp.maximum(jnp.floor(-jnp.max(m)).astype(jnp.int32) - 2,
-                       -r_static)
-    d_hi = jnp.minimum(jnp.ceil(-jnp.min(m)).astype(jnp.int32) + 2, r_static)
-
+    # ---- WALK 2: winner scan over the same window. ----------------------
     packed = jnp.concatenate([x, cl, img[0], img[1], img[2]], axis=0)
-    packed = pltpu.roll(packed, jnp.mod(-d_lo, wp), axis=1)
+    packed = pltpu.roll(packed, shift0, axis=1)
 
-    def body(t, cur):
-        nxt = pltpu.roll(cur, wp - 1, axis=1)
+    def body2(t, cur):
+        nxt = pltpu.roll(cur, local - 1, axis=1)
         d = d_lo + t
-        cp = cols_i + d
-        x_c = cur[0 * rblock:1 * rblock]
-        cl_c = cur[1 * rblock:2 * rblock]
-        img_c = tuple(cur[(2 + ch) * rblock:(3 + ch) * rblock]
-                      for ch in range(3))
-        x_n = nxt[0 * rblock:1 * rblock]
-        cl_n = nxt[1 * rblock:2 * rblock]
-        img_n = tuple(nxt[(2 + ch) * rblock:(3 + ch) * rblock]
-                      for ch in range(3))
+        cp = out_cols + d
+
+        def sl(buf, i):
+            return buf[i * rblock:(i + 1) * rblock][:, o0:o0 + cb]
+
+        x_c, cl_c = sl(cur, 0), sl(cur, 1)
+        img_c = tuple(sl(cur, 2 + ch) for ch in range(3))
+        x_n, cl_n = sl(nxt, 0), sl(nxt, 1)
+        img_n = tuple(sl(nxt, 2 + ch) for ch in range(3))
         if sharp:
             consider_all_pieces(x_c - hw, x_c + hw, cl_c, cl_c,
                                 img_c, img_c,
@@ -163,112 +266,141 @@ def _scan_kernel(kmax_ref, cols_ref, x_ref, cl_ref, r_ref, g_ref, b_ref,
                             (cp >= 0) & (cp <= w - 2), False)
         return nxt
 
-    # A block whose chunk owns no live pieces skips the walk entirely.
-    trips = jnp.where(khi > 0, d_hi - d_lo + 1, 0)
-    packed = jax.lax.fori_loop(0, trips, body, packed)
+    packed = jax.lax.fori_loop(0, jnp.where(khi > 0, trips, 0), body2,
+                               packed)
     del packed
 
     # Resolve winners and integrate, continuing the carried accumulator
     # (sequential piece order is preserved across piece-chunked calls so
-    # uint8 bit-parity survives the VMEM-driven split at 4K widths).
-    acc = [ar_ref[:], ag_ref[:], ab_ref[:]]
+    # uint8 bit-parity survives even when VMEM forces a split).
+    acc = [acc_s[ch] for ch in range(3)]
     for k in range(k_pieces):
         sl = slice(k * rblock, (k + 1) * rblock)
         use_best = (bcl_ref[sl] > -eps) & (nact_ref[sl] != 1.0)
-        valid = val_ref[k] > 0.5
-        sig = sig_ref[k]
+        valid = val_s[sl] > 0.5
+        sig = sig_s[sl]
         for ch in range(3):
             co = slice((k * 3 + ch) * rblock, (k * 3 + ch + 1) * rblock)
             color = jnp.where(use_best, bcol_ref[co], fbcol_ref[co])
             acc[ch] = acc[ch] + jnp.where(valid, color * sig, 0.0)
-    for ch, out_ref in enumerate((or_ref, og_ref, ob_ref)):
+    for ch in range(3):
         if finalize:
-            out_ref[:] = jnp.trunc(jnp.clip(acc[ch], 0.0, 255.0))
+            acc_s[ch] = jnp.trunc(jnp.clip(acc[ch], 0.0, 255.0))
         else:
-            out_ref[:] = acc[ch]
+            acc_s[ch] = acc[ch]
+    ocopies = [pltpu.make_async_copy(
+        acc_s.at[ch],
+        out.at[pl.ds(row0, rblock), pl.ds(col0, cb)], sems.at[ch])
+        for ch, out in enumerate((or_hbm, og_hbm, ob_hbm))]
+    for c in ocopies:
+        c.start()
+    for c in ocopies:
+        c.wait()
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "w", "k_pieces", "sharp", "max_disp", "interpret"))
-def polylines_exact_scanline(x, cl, red, green, blue, centers, sigs, valids,
+    "w", "k_pieces", "sharp", "max_disp", "interpret", "cb",
+    "k_chunk_override"))
+def polylines_exact_scanline(x, cl, red, green, blue,
                              *, w: int, k_pieces: int, sharp: bool,
-                             max_disp: int, interpret: bool = False):
-    """x/cl/red/green/blue: [N, W] f32; centers/sigs/valids: [K, N, W] f32.
-    Returns (r, g, b) [N, W] uint8-valued f32."""
+                             max_disp: int, interpret: bool = False,
+                             cb: int | None = None,
+                             k_chunk_override: int | None = None):
+    """x/cl/red/green/blue: [N, W] f32. Returns (r, g, b) [N, W]
+    uint8-valued f32. Piece geometry is computed in-kernel (no sort).
+
+    cb / k_chunk_override are test hooks: force a column-tile width
+    (multiple of 128) or a piece-chunk size smaller than the VMEM budget
+    would pick, to exercise the tiled / accumulator-threaded paths at small
+    shapes.
+    """
     n = x.shape[0]
-    wp = _cdiv(w, _LANES) * _LANES
     rblock = 8
+    wp_min = _cdiv(w, _LANES) * _LANES
+    if cb is None:
+        cb = wp_min if wp_min <= 2048 else 1024
+    ncb = _cdiv(w, cb)
+    # halo >= max_disp + 8 > r_static = max_disp + 4 guarantees the cyclic
+    # roll never aliases for any d the walks can visit; single-tile keeps
+    # halo = 0 (aliasing wraps land out-of-image, killed by the i-bounds).
+    halo = 0 if ncb == 1 else _cdiv(max_disp + 8, _LANES) * _LANES
+    local = cb + 2 * halo
+    w2 = ncb * cb
+    sw = w2 + 2 * halo
+    npad = _cdiv(n, rblock) * rblock
+    nrb = npad // rblock
+
     # VMEM budget model (validated against Mosaic's scoped-vmem accounting
-    # on v5e): fixed = double-buffered per-row blocks (cols + 5 planes +
-    # 3 accs + 3 outs), per-piece = scratch (9 planes) + double-buffered
-    # cen/sig/val blocks; Mosaic's real usage runs ~1.16x the raw estimate,
-    # so budget against 16 MB / 1.2. Pieces are chunked across calls,
-    # threading the accumulator so the sequential piece order (and thus
-    # uint8 bit-parity) is preserved.
-    fixed = 12 * rblock * wp * 8
-    per_piece = 9 * rblock * wp * 4 + 3 * rblock * wp * 8
+    # on v5e): fixed = DMA'd source window + sentinel plane + acc staging +
+    # breakpoint slots + double-buffered rolled stacks; per-piece = winner
+    # scratch (9 planes of cb lanes) + cen/sig/val planes. Mosaic's real
+    # usage runs ~1.16x the raw estimate, so budget against 16 MB / 1.2.
+    # With column tiling every piece fits in one pass at any real
+    # resolution; the piece-chunk loop (accumulator threaded through,
+    # sequential piece order preserved for uint8 bit-parity) remains as the
+    # overflow valve.
+    fixed = (6 * local + 128 + 3 * cb + k_pieces * cb) * rblock * 4 \
+        + 2 * 6 * rblock * local * 4
+    per_piece = 12 * rblock * cb * 4
     budget = int((16 << 20) / 1.2)
     k_chunk = max(1, min(k_pieces, (budget - fixed) // per_piece))
-    npad = _cdiv(n, rblock) * rblock
+    if k_chunk_override is not None:
+        k_chunk = k_chunk_override
 
-    def pad2(v, fill=0.0):
-        return jnp.full((npad, wp), fill, v.dtype).at[:n, :w].set(v)
+    def pad_src(v, fill=0.0):
+        return jnp.full((npad, sw), fill, jnp.float32) \
+            .at[:n, halo:halo + w].set(v)
 
-    def pad3(v, fill=0.0):
-        # [K, N, W] -> [K, npad, wp]; a (k, rblock, wp) block at row-index i
-        # covers rows [i*rblock, ...) of every piece k.
-        out = jnp.full((v.shape[0], npad, wp), fill, v.dtype)
-        return out.at[:, :n, :w].set(v)
+    cols = jnp.broadcast_to(
+        jnp.arange(sw, dtype=jnp.float32) - float(halo), (rblock, sw))
+    planes = (pad_src(x), pad_src(cl), pad_src(red), pad_src(green),
+              pad_src(blue))
 
-    cols = jnp.broadcast_to(jnp.arange(wp, dtype=jnp.int32), (rblock, wp))
-    cen = pad3(centers)
-    sig = pad3(sigs)
-    val = pad3(valids)
-    planes = (pad2(x), pad2(cl), pad2(red), pad2(green), pad2(blue))
+    # Per-row sentinel scalars (reference :1920/:1936 segments at cols 0 and
+    # w-1), packed into a 128-lane plane: [first_x, last_x, cl0, clw,
+    # rgb(0), rgb(w-1)].
+    hw = 0.45 if sharp else 0.0
+    sent = jnp.zeros((npad, 128), jnp.float32)
+    for j, v in enumerate((x[:, 0] - hw, x[:, w - 1] + hw,
+                           cl[:, 0], cl[:, w - 1],
+                           red[:, 0], green[:, 0], blue[:, 0],
+                           red[:, w - 1], green[:, w - 1], blue[:, w - 1])):
+        sent = sent.at[:n, j].set(v)
 
-    # Measured piece demand per row-block: valid_k is monotone in k (sorted
-    # breakpoints), so the per-pixel piece count is a sum over k and the
-    # block's bound its max. Pieces beyond a block's demand are skipped in
-    # the kernel's predicated inner loop (padding rows demand 0 pieces).
-    counts = val.sum(axis=0)  # [npad, wp]
-    kmax = counts.reshape(npad // rblock, rblock * wp).max(axis=1)
-    kmax = jnp.ceil(kmax).astype(jnp.int32).reshape(-1, 1)
+    grid = (nrb, ncb)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
-    grid = (npad // rblock,)
-    spec = pl.BlockSpec((rblock, wp), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
-    cols_spec = pl.BlockSpec((rblock, wp), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
-    # Whole-array SMEM block (Mosaic wants block dims divisible by (8, 128)
-    # or equal to the array's); indexed by program_id in-kernel.
-    kmax_spec = pl.BlockSpec((npad // rblock, 1), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM)
-
-    accs = tuple(jnp.full((npad, wp), 0.5, jnp.float32) for _ in range(3))
+    accs = tuple(jnp.full((npad, w2), 0.5, jnp.float32) for _ in range(3))
     for k0 in range(0, k_pieces, k_chunk):
         kc = min(k_chunk, k_pieces - k0)
         finalize = k0 + kc >= k_pieces
-        kspec = pl.BlockSpec((kc, rblock, wp), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM)
-        kernel = functools.partial(_scan_kernel, w=w, wp=wp, rblock=rblock,
+        kernel = functools.partial(_scan_kernel, w=w, cb=cb, halo=halo,
+                                   rblock=rblock, k_total=k_pieces,
                                    k_pieces=kc, k0=k0, sharp=sharp,
                                    max_disp=max_disp, finalize=finalize)
         accs = pl.pallas_call(
             kernel,
-            out_shape=tuple(jax.ShapeDtypeStruct((npad, wp), jnp.float32)
+            out_shape=tuple(jax.ShapeDtypeStruct((npad, w2), jnp.float32)
                             for _ in range(3)),
             grid=grid,
-            in_specs=[kmax_spec, cols_spec] + [spec] * 5 + [kspec] * 3
-                     + [spec] * 3,
-            out_specs=(spec,) * 3,
+            in_specs=[any_spec] * 10,
+            out_specs=(any_spec,) * 3,
             scratch_shapes=[
-                pltpu.VMEM((kc * rblock, wp), jnp.float32),      # best_cl
-                pltpu.VMEM((kc * 3 * rblock, wp), jnp.float32),  # best col
-                pltpu.VMEM((kc * rblock, wp), jnp.float32),      # n_act
-                pltpu.VMEM((kc * rblock, wp), jnp.float32),      # fb_x0
-                pltpu.VMEM((kc * 3 * rblock, wp), jnp.float32),  # fb col
+                pltpu.VMEM((6, rblock, local), jnp.float32),     # src window
+                pltpu.VMEM((rblock, 128), jnp.float32),          # sentinels
+                pltpu.VMEM((3, rblock, cb), jnp.float32),        # acc in/out
+                pltpu.VMEM((k_pieces * rblock, cb), jnp.float32),  # slots
+                pltpu.VMEM((kc * rblock, cb), jnp.float32),      # centers
+                pltpu.VMEM((kc * rblock, cb), jnp.float32),      # sigs
+                pltpu.VMEM((kc * rblock, cb), jnp.float32),      # valids
+                pltpu.VMEM((kc * rblock, cb), jnp.float32),      # best_cl
+                pltpu.VMEM((kc * 3 * rblock, cb), jnp.float32),  # best col
+                pltpu.VMEM((kc * rblock, cb), jnp.float32),      # n_act
+                pltpu.VMEM((kc * rblock, cb), jnp.float32),      # fb_x0
+                pltpu.VMEM((kc * 3 * rblock, cb), jnp.float32),  # fb col
+                pltpu.SemaphoreType.DMA((10,)),
             ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(kmax, cols, *planes, cen[k0:k0 + kc], sig[k0:k0 + kc],
-          val[k0:k0 + kc], *accs)
+        )(cols, sent, *planes, *accs)
     return tuple(o[:n, :w] for o in accs)

@@ -45,30 +45,40 @@ def test_fused_exact_matches_xla_sweep(sharp, div, sep):
 
 
 @pytest.mark.slow
-def test_fused_exact_piece_chunked_width():
-    """Widths past ~2560 px exceed the kernel's VMEM budget for all 12
-    pieces in one call; the pieces are then chunked across calls with the
-    accumulator threaded through. Cover that path (incl. sequential-order
-    preservation) off-TPU at a reduced row count."""
-    from comfystereo_tpu.pallas import polylines_exact_kernel as kmod
-
-    h, w = 2, 2700
-    wp = -(-w // 128) * 128
-    fixed = 12 * 8 * wp * 8
-    per = 9 * 8 * wp * 4 + 3 * 8 * wp * 8
-    assert (int((16 << 20) / 1.2) - fixed) // per < 12  # chunking engaged
-    img = fixtures.create_test_image(h, w).astype(np.float32)
-    depth = fixtures.create_depth_map(h, w).astype(np.float32)
+def test_fused_exact_tiled_and_piece_chunked():
+    """Column tiling (cb-lane DMA windows + halo) and piece chunking (the
+    0.5-biased accumulator threaded across calls in sequential piece order)
+    must be invisible in the output. Force both via the kernel's test hooks
+    at a width spanning several 128-lane tiles and compare against the
+    default single-tile layout and the XLA ground truth."""
+    from comfystereo_tpu.pallas.polylines_exact_kernel import (
+        polylines_exact_scanline)
     from comfystereo_tpu.ops import depth as depth_ops
 
+    h, w = 4, 700
+    img = fixtures.create_test_image(h, w).astype(np.float32)
+    depth = fixtures.create_depth_map(h, w).astype(np.float32)
     nd = depth_ops.normalize_depth(jnp.asarray(depth[None])) - 0.5
-    outs = []
-    for impl in ("xla", "pallas"):
-        out = pe.apply_polylines_exact(
-            jnp.asarray(img[None]), nd, 0.045 * w, 0.0, 2.0,
-            sharp=True, impl=impl)
-        outs.append(np.asarray(out)[0].astype(np.uint8))
-    np.testing.assert_array_equal(outs[0], outs[1])
+    ref = np.asarray(pe.apply_polylines_exact(
+        jnp.asarray(img[None]), nd, 0.045 * w, 0.0, 2.0,
+        sharp=True, impl="xla"))[0].astype(np.uint8)
+
+    import math
+    div_px = 0.045 * w
+    max_disp = int(math.ceil(div_px)) + 4
+    coord = (np.sign(np.asarray(nd)) * np.abs(np.asarray(nd)) ** 2.0
+             * div_px).astype(np.float32)
+    x = (np.arange(w, dtype=np.float32) + 0.5 + coord[0]).reshape(h, w)
+    cl = np.abs(coord[0]).reshape(h, w)
+    planes = [jnp.asarray(img[..., ch]) for ch in range(3)]
+    for kw in ({"cb": 128}, {"cb": 128, "k_chunk_override": 2},
+               {"k_chunk_override": 3}):
+        outs = polylines_exact_scanline(
+            jnp.asarray(x), jnp.asarray(cl), *planes,
+            w=w, k_pieces=12, sharp=True, max_disp=max_disp,
+            interpret=True, **kw)
+        got = np.stack([np.asarray(o) for o in outs], -1).astype(np.uint8)
+        np.testing.assert_array_equal(ref, got, err_msg=str(kw))
 
 
 @pytest.mark.slow
