@@ -98,7 +98,13 @@ def _warp_kernel(cols_ref, off_ref, nd_ref, r_ref, g_ref, b_ref,
                  w: int, wp: int, rblock: int, gradient_threshold: float,
                  max_stretch: int, max_disp: int):
     nvreg = wp // _LANES
-    k2 = _cdiv(max_disp + 2 * _LANES, _LANES)
+    # Bilinear displacement bound: IDENTICAL to the XLA path's
+    # (ops/warp.py `bil_disp = max_disp + 128`) so fused and fallback
+    # agree everywhere. Both deviate from the unclipped oracle only when a
+    # gap-interpolated source lands further than max_disp+126 from its
+    # column — possible only on near-empty rows with gaps far longer than
+    # any real warp produces.
+    k2 = _cdiv(max_disp + _LANES, _LANES)
 
     off = off_ref[:]
     nd = nd_ref[:]
@@ -194,7 +200,7 @@ def _warp_kernel(cols_ref, off_ref, nd_ref, r_ref, g_ref, b_ref,
     gap_src = l_src * (1.0 - tb) + r_src * tb
 
     src = jnp.where(gap & (has_l | has_r), gap_src, src)
-    bil = max_disp + 2 * _LANES - 2
+    bil = max_disp + _LANES - 2
     src = jnp.clip(src, cols - bil, cols + bil)
     src = jnp.clip(src, 0.0, w - 1.0)
 
