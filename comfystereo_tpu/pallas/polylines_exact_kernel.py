@@ -16,16 +16,25 @@ jnp.sort per row + windowed rank search + 13 bounded gathers) was ~75% of
 exact-mode wall time (28.5 of 34 ms at 1080p, 135 of 174 ms at 4K on v5e).
 The geometry is now computed IN-KERNEL with no sort at all:
 
-  WALK 1 (breakpoint collect): sweep the same candidate window as the winner
-  scan, maintaining per pixel (a) the running MAX of visited points below
-  `col` — the piece-0 start, init to the left sentinel -w — and (b) the K
-  smallest points >= col in sorted order via a K-slot bubble insert. This
-  is exactly the information the global sort provided: sorted breakpoints
-  q0-1 .. q0+K for each pixel. Sortedness comes from the insert, so visit
-  order is irrelevant; the candidate window covers every point a pixel can
-  see (a far-away nearest-below point forces the intermediate sources'
-  displacements to span the gap, so the measured m-range window includes
-  its d — the same interval property the winner scan relies on).
+  WALK 1 (breakpoint collect): sweep the candidate window (trimmed to the
+  landing-point range — one lane of margin), keeping the K smallest
+  points >= col in sorted order via a K-slot bubble insert. This is
+  exactly the information the global sort provided: sorted breakpoints
+  q0 .. q0+K for each pixel. (The sort's q0-1 entry — the nearest point
+  BELOW col — is never needed: it is < col by construction, so piece 0's
+  start max(col, xq)+eps is col+eps bit-identically.) Sortedness comes
+  from the insert, so visit order is irrelevant; the candidate window
+  covers every point that can land in [col, col+1) (the measured m-range
+  interval property). In SOFT mode a cheap counting pre-walk (WALK 0)
+  measures the tile's max piece demand first and the bubble depth is
+  bucketed on it — flat regions insert into 4 slots instead of K
+  (A/B: -15% at 1080p; in sharp mode, where every source contributes two
+  points and demand rarely sits below the buckets, the pre-walk was a
+  measured net loss and is skipped).
+
+  Per-piece work everywhere downstream (piece geometry, walk 2, and the
+  slots a tile never reaches) is predicated on the measured demand via
+  pl.when — skipped pieces are provably zero-contribution.
 
   Pieces (centers/sigs/valids) are then built in VMEM with the oracle's
   expressions, and WALK 2 runs the winner scan over the same window.
@@ -119,61 +128,117 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, r_hbm, g_hbm, b_hbm,
     d_hi = jnp.minimum(jnp.ceil(-jnp.min(m)).astype(jnp.int32) + 2, r_static)
     trips = d_hi - d_lo + 1
     shift0 = jnp.mod(-d_lo, local)
+    # Walks 0/1 only need points LANDING in [col, col+1): a landing point
+    # pv from source cp has d = cp - col in [-m-0.5, -m+0.5], so one lane
+    # of margin suffices (the winner scan's extra margin covers segments
+    # whose far endpoint is the landing one).
+    d_lo1 = d_lo + 1
+    trips1 = jnp.maximum(trips - 2, 0)
+    shift1 = jnp.mod(-d_lo1, local)
 
-    # ---- WALK 1: collect each pixel's breakpoints. --------------------
-    # slots[j] = (j+1)-th smallest visited point >= col (init +inf);
-    # m0 = max visited point < col (init left sentinel -w).
+    xroll = pltpu.roll(x, shift1, axis=1)
+
+    # ---- WALK 1: collect each pixel's breakpoints. ---------------------
+    # slots[j] = (j+1)-th smallest visited point >= col (init +inf).
     for j in range(k_total):
         slots_ref[j * rblock:(j + 1) * rblock] = jnp.full((rblock, cb), inf)
-    xroll = pltpu.roll(x, shift0, axis=1)
 
-    def body1(t, carry):
-        cur, m0 = carry
-        d = d_lo + t
-        cp = out_cols + d
-        okc = (cp >= 0) & (cp <= w - 1)
-        xv = cur[:, o0:o0 + cb]
-        pvs = (xv - hw, xv + hw) if sharp else (xv,)
-        for pv in pvs:
-            below = pv < out_colsf
-            m0 = jnp.maximum(m0, jnp.where(okc & below, pv, -inf))
-            carryv = jnp.where(okc & ~below, pv, inf)
-            for j in range(k_total):
-                sl = slice(j * rblock, (j + 1) * rblock)
-                s = slots_ref[sl]
-                slots_ref[sl] = jnp.minimum(s, carryv)
-                carryv = jnp.maximum(s, carryv)
-        return pltpu.roll(cur, local - 1, axis=1), m0
+    def run_walk1(cap):
+        def body1(t, cur):
+            d = d_lo1 + t
+            cp = out_cols + d
+            okc = (cp >= 0) & (cp <= w - 1)
+            xv = cur[:, o0:o0 + cb]
+            pvs = (xv - hw, xv + hw) if sharp else (xv,)
+            for pv in pvs:
+                carryv = jnp.where(okc & (pv >= out_colsf), pv, inf)
+                for j in range(cap):
+                    sl = slice(j * rblock, (j + 1) * rblock)
+                    s = slots_ref[sl]
+                    slots_ref[sl] = jnp.minimum(s, carryv)
+                    carryv = jnp.maximum(s, carryv)
+            return pltpu.roll(cur, local - 1, axis=1)
 
-    m0_init = jnp.full((rblock, cb), jnp.float32(-1.0 * w))
-    _, m0 = jax.lax.fori_loop(0, trips, body1, (xroll, m0_init))
+        jax.lax.fori_loop(0, trips1, body1, xroll)
+
+    if sharp:
+        # Sharp mode: every source contributes 2 points, so per-pixel
+        # demand is rarely below the bucket edges — a counting pre-walk
+        # does not pay (A/B-measured +4-6% at 1080p/4K). Run the full
+        # bubble and read the demand off the slots.
+        run_walk1(k_total)
+        demand = jnp.ones((rblock, cb), jnp.float32)
+        for j in range(k_total - 1):
+            sj = slots_ref[j * rblock:(j + 1) * rblock]
+            demand = demand + (sj < colp1).astype(jnp.float32)
+        dmax = jnp.max(demand).astype(jnp.int32)
+    else:
+        # ---- WALK 0 (soft only): measure the tile's piece demand. ------
+        # cnt = points landing inside [col, col+1); pixel demand = cnt + 1
+        # pieces. Pixel slots j >= demand-1 are only ever read as "past
+        # the right clip" (their true value is >= col+1), which +inf
+        # reproduces exactly, so walk 1's bubble depth can be bucketed on
+        # the tile's measured max demand: flat regions insert into 4
+        # slots instead of k_total (A/B-measured -15% at 1080p soft; each
+        # bucket is its own fori_loop under pl.when — the rolled plane is
+        # a value, so nothing escapes the branch but the slots_ref
+        # stores).
+        def body0(t, carry):
+            cur, cnt = carry
+            d = d_lo1 + t
+            cp = out_cols + d
+            okc = (cp >= 0) & (cp <= w - 1)
+            xv = cur[:, o0:o0 + cb]
+            hit = okc & (xv >= out_colsf) & (xv < colp1)
+            return (pltpu.roll(cur, local - 1, axis=1),
+                    cnt + hit.astype(jnp.float32))
+
+        _, cnt = jax.lax.fori_loop(
+            0, trips1, body0, (xroll, jnp.zeros((rblock, cb), jnp.float32)))
+        dmax = jnp.max(cnt).astype(jnp.int32) + 1
+
+        caps = [c for c in (4, 8) if c < k_total] + [k_total]
+        prev_cap = 0
+        for cap in caps:
+            cond = (dmax > prev_cap) if cap == k_total \
+                else (dmax > prev_cap) & (dmax <= cap)
+
+            @pl.when(cond)
+            def _walk1(cap=cap):
+                run_walk1(cap)
+
+            prev_cap = cap
+
+    khi = jnp.clip(dmax - k0, 0, k_pieces)
 
     # ---- Pieces from the collected breakpoints (oracle expressions). ---
-    # Piece k: xq = sorted[q0+k] (k=0 -> m0, else slots[k-1]); xq1 =
+    # Piece k: xq = sorted[q0+k] (k=0 -> the nearest point below col, which
+    # max(col, .)+eps reduces to col+eps; else slots[k-1]); xq1 =
     # sorted[q0+k+1] = slots[k]. +inf slots behave exactly like the right
-    # sentinel: t clips to col+1 and the validity chain stops.
-    demand = jnp.ones((rblock, cb), jnp.float32)
-    for j in range(k_total - 1):
-        sj = slots_ref[j * rblock:(j + 1) * rblock]
-        demand = demand + (sj < colp1).astype(jnp.float32)
-    khi = jnp.clip(jnp.max(demand).astype(jnp.int32) - k0, 0, k_pieces)
-
+    # sentinel: t clips to col+1 and the validity chain stops. Pieces the
+    # tile never reaches are skipped (val zeroed so the finalize gates
+    # their garbage scratch to zero).
     for k in range(k_pieces):
-        kg = k0 + k
-        if kg == 0:
-            xq = m0
-            valid = jnp.ones((rblock, cb), jnp.float32)
-        else:
-            xq = slots_ref[(kg - 1) * rblock:kg * rblock]
-            valid = (xq < colp1).astype(jnp.float32)
-        xq1 = slots_ref[kg * rblock:(kg + 1) * rblock]
-        f_k = jnp.maximum(out_colsf, xq) + eps
-        t_k = jnp.minimum(colp1, xq1) - eps
-        sig = t_k - f_k
-        sl = slice(k * rblock, (k + 1) * rblock)
-        cen_s[sl] = f_k + 0.5 * sig
-        sig_s[sl] = sig
-        val_s[sl] = valid
+        val_s[k * rblock:(k + 1) * rblock] = jnp.zeros((rblock, cb),
+                                                       jnp.float32)
+    for k in range(k_pieces):
+        @pl.when(khi > k)
+        def _piece_geom(k=k):
+            kg = k0 + k
+            if kg == 0:
+                xq = out_colsf
+                valid = jnp.ones((rblock, cb), jnp.float32)
+            else:
+                xq = slots_ref[(kg - 1) * rblock:kg * rblock]
+                valid = (xq < colp1).astype(jnp.float32)
+            xq1 = slots_ref[kg * rblock:(kg + 1) * rblock]
+            f_k = jnp.maximum(out_colsf, xq) + eps
+            t_k = jnp.minimum(colp1, xq1) - eps
+            sig = t_k - f_k
+            sl = slice(k * rblock, (k + 1) * rblock)
+            cen_s[sl] = f_k + 0.5 * sig
+            sig_s[sl] = sig
+            val_s[sl] = valid
 
     # ---- Init winner accumulators. -------------------------------------
     for k in range(k_pieces):
@@ -353,8 +418,13 @@ def polylines_exact_scanline(x, cl, red, green, blue,
 
     cols = jnp.broadcast_to(
         jnp.arange(sw, dtype=jnp.float32) - float(halo), (rblock, sw))
-    planes = (pad_src(x), pad_src(cl), pad_src(red), pad_src(green),
-              pad_src(blue))
+    # Pad the point plane with col+0.5 (m = 0, a self-landing point), not
+    # 0.0: padded rows/lanes then neither widen the measured displacement
+    # window nor inflate the walk-0 demand count of the last row block.
+    x_pad = jnp.broadcast_to(
+        jnp.arange(sw, dtype=jnp.float32) - float(halo) + 0.5, (npad, sw))
+    planes = (x_pad.at[:n, halo:halo + w].set(x), pad_src(cl), pad_src(red),
+              pad_src(green), pad_src(blue))
 
     # Per-row sentinel scalars (reference :1920/:1936 segments at cols 0 and
     # w-1), packed into a 128-lane plane: [first_x, last_x, cl0, clw,
