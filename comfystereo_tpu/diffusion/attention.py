@@ -30,6 +30,18 @@ class AttentionMode:
     use_cfg: bool = True          # batch is [u_L, u_R, c_L, c_R] vs [L, R]
 
 
+def _softmax_last(sim: jnp.ndarray) -> jnp.ndarray:
+    """exp(x - max) / sum — the exact expression jax.nn.softmax computes,
+    written in plain jnp (no custom-jvp wrapper between XLA and the
+    reduce+elementwise chain). Isolated at SD's N=4096 shapes this fused
+    ~2x faster than jax.nn.softmax on v5e; inside the full transformer
+    block the gain is absorbed by neighboring fusions, so treat it as
+    at-worst-neutral with identical math."""
+    m = jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
+    e = jnp.exp(sim - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
 def standard_attention(q, k, v, scale: float) -> jnp.ndarray:
     """Plain softmax attention. q,k,v: [B, H, N, D].
 
@@ -39,7 +51,7 @@ def standard_attention(q, k, v, scale: float) -> jnp.ndarray:
     back to the value dtype for the second matmul."""
     sim = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                      preferred_element_type=jnp.float32) * scale
-    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+    attn = _softmax_last(sim).astype(v.dtype)
     return jnp.einsum("bhnm,bhmd->bhnd", attn, v)
 
 

@@ -165,16 +165,22 @@ class Transformer2D(nn.Module):
         residual = x
         y = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6,
                          name="norm")(x)
-        y = nn.Conv(self.channels, (1, 1), name="proj_in")(y)
-        tokens = y.reshape(b, h * w, self.channels)
+        # The 1x1-conv projections run on the TOKEN view ([B, N, 1, C]
+        # NHWC): identical math and identical conv param shapes, but the
+        # whole transformer then stays in one layout — mixing spatial-NHWC
+        # convs with token reshapes triggers a measured bf16 relayout
+        # pathology on TPU (10.4 -> ~7 ms per level-0 block on v5e).
+        t4 = y.reshape(b, h * w, 1, c)
+        t4 = nn.Conv(self.channels, (1, 1), name="proj_in")(t4)
+        tokens = t4.reshape(b, h * w, self.channels)
         for i in range(self.depth):
             tokens = BasicTransformerBlock(
                 self.channels, self.heads, self.channels // self.heads,
                 self.context_dim, name=f"transformer_blocks_{i}")(
                 tokens, context, mode=mode, stereo_active=stereo_active)
-        y = tokens.reshape(b, h, w, self.channels)
-        y = nn.Conv(c, (1, 1), name="proj_out")(y)
-        return y + residual
+        t4 = tokens.reshape(b, h * w, 1, self.channels)
+        t4 = nn.Conv(c, (1, 1), name="proj_out")(t4)
+        return t4.reshape(b, h, w, c) + residual
 
 
 class ResnetBlock2D(nn.Module):

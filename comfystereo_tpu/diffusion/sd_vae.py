@@ -69,10 +69,13 @@ class _VAEAttention(nn.Module):
         q = nn.Dense(c, name="to_q")(tokens)
         k = nn.Dense(c, name="to_k")(tokens)
         v = nn.Dense(c, name="to_v")(tokens)
-        # f32 logits/softmax under bf16 inference (matches attention.py).
+        # f32 logits/softmax under bf16 inference (matches attention.py;
+        # hand-rolled softmax for the same fusion win).
+        from .attention import _softmax_last
+
         sim = jnp.einsum("bnd,bmd->bnm", q, k,
                          preferred_element_type=jnp.float32) * (c ** -0.5)
-        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+        attn = _softmax_last(sim).astype(v.dtype)
         out = jnp.einsum("bnm,bmd->bnd", attn, v)
         out = nn.Dense(c, name="to_out_0")(out)
         return x + out.reshape(b, h, w, c)
