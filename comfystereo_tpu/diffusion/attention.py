@@ -45,10 +45,27 @@ def _softmax_last(sim: jnp.ndarray) -> jnp.ndarray:
 def standard_attention(q, k, v, scale: float) -> jnp.ndarray:
     """Plain softmax attention. q,k,v: [B, H, N, D].
 
-    Logits and softmax accumulate in f32 regardless of input dtype (the
-    bf16 inference path keeps the MXU matmuls in bf16 while the numerically
-    sensitive normalization stays full-precision); the weights are cast
-    back to the value dtype for the second matmul."""
+    f32 inputs: logits and softmax run fully in f32 (the torch-parity
+    path — ported-weight numerics tests compare this bit-for-bit shape).
+
+    bf16 inputs: the logit matrix is MATERIALIZED in bf16 while the
+    softmax normalization (shift, exp, sum, divide) still computes in f32
+    on the fly. At SD1.5 level-0 shapes ([2,8,4096,40] on v5e) attention
+    is HBM-bound on the N^2 logit matrix, and halving its residency wins
+    2x (measured 2.64 -> 1.31 ms per call; a full-f32-softmax-in-bf16-in
+    variant and stock pallas flash attention both lose — see NOTES). The
+    precision cost is one bf16 rounding of the logits; exp/sum/divide
+    stay f32."""
+    if q.dtype == jnp.bfloat16:
+        sim = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+        m = jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
+        # softmax(scale*sim) == exp(scale*(sim-max))/sum: folding the scale
+        # into the f32 elementwise chain keeps it full-precision and off
+        # the bf16 N^2 matrix.
+        e = jnp.exp((sim.astype(jnp.float32) - m.astype(jnp.float32))
+                    * scale)
+        attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        return jnp.einsum("bhnm,bhmd->bhnd", attn, v)
     sim = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                      preferred_element_type=jnp.float32) * scale
     attn = _softmax_last(sim).astype(v.dtype)

@@ -132,6 +132,22 @@ def test_bn_attention_bi_uses_both():
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
 
 
+def test_standard_attention_bf16_close_to_f32():
+    # The bf16 path materializes the logit matrix in bf16 (HBM-bound 2x on
+    # TPU) while exp/sum/divide stay f32; the result must stay within bf16
+    # rounding of the f32 reference (softmax outputs are O(1), so atol
+    # ~ a few bf16 ulps).
+    rng = jax.random.PRNGKey(7)
+    q, k, v = jax.random.normal(rng, (3, 2, 4, 64, 40), jnp.float32)
+    ref = diffusion.attention.standard_attention(q, k, v, 40 ** -0.5)
+    out = diffusion.attention.standard_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), 40 ** -0.5)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=0.04)
+
+
 # ---------------------------------------------------------------------------
 # End-to-end on the toy model
 # ---------------------------------------------------------------------------
