@@ -48,15 +48,29 @@ def standard_attention(q, k, v, scale: float) -> jnp.ndarray:
     f32 inputs: logits and softmax run fully in f32 (the torch-parity
     path — ported-weight numerics tests compare this bit-for-bit shape).
 
-    bf16 inputs: the logit matrix is MATERIALIZED in bf16 while the
-    softmax normalization (shift, exp, sum, divide) still computes in f32
-    on the fly. At SD1.5 level-0 shapes ([2,8,4096,40] on v5e) attention
-    is HBM-bound on the N^2 logit matrix, and halving its residency wins
-    2x (measured 2.64 -> 1.31 ms per call; a full-f32-softmax-in-bf16-in
-    variant and stock pallas flash attention both lose — see NOTES). The
-    precision cost is one bf16 rounding of the logits; exp/sum/divide
-    stay f32."""
+    bf16 inputs on TPU, kernel-supported shapes: the fused Pallas kernel
+    (pallas/flash_attention.py) keeps the N^2 logit matrix in VMEM —
+    never in HBM — with FULL f32 logits from the MXU accumulator. XLA
+    materializes that matrix to HBM three times per attention; at SD1.5
+    level-0 shapes a device trace shows each pass at HBM speed-of-light
+    (~2.2 ms per attention, 41% of the CFG step).
+
+    Other bf16 shapes: the logit matrix is MATERIALIZED in bf16 while
+    the softmax normalization (shift, exp, sum, divide) still computes
+    in f32 on the fly — 2x less HBM residency than f32 logits (measured
+    2.64 -> 1.31 ms per call; stock pallas flash attention loses at
+    d=40, 6.6 ms — see NOTES)."""
     if q.dtype == jnp.bfloat16:
+        b, h, n, d = q.shape
+        nk = k.shape[2]
+        from ..pallas import flash_attention as fa
+
+        if jax.default_backend() == "tpu" and fa.supports(
+                n, nk, d, q.dtype):
+            out = fa.flash_attention(q.reshape(b * h, n, d),
+                                     k.reshape(b * h, nk, d),
+                                     v.reshape(b * h, nk, d), scale)
+            return out.reshape(b, h, n, d)
         sim = jnp.einsum("bhnd,bhmd->bhnm", q, k)
         m = jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
         # softmax(scale*sim) == exp(scale*(sim-max))/sum: folding the scale
