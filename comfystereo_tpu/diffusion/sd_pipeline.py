@@ -27,6 +27,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import schedulers
 from .attention import AttentionMode
@@ -93,49 +94,105 @@ def text2stereo(model: DiffusionModel, image_nchw: jnp.ndarray,
     start_step = shift_every
     mode = AttentionMode(stereo=True, direction=direction, use_cfg=use_cfg)
     rng = jax.random.PRNGKey(seed)
+    rng, sub = jax.random.split(rng)
 
     latents = jnp.concatenate([inv.latents[-1]] * 2, axis=0)  # [2,C,h,w]
     if sched.sigmas is not None:
         # DDIM-inverted latent -> Euler's sigma parameterization.
         latents = schedulers.to_sigma_space(sched, latents,
                                             jnp.int32(sched.timesteps[0]))
-    mask = None
+    # Deblur noise for the first-shift step (same key sequence as the
+    # pre-scan per-step implementation: one split at the first shift).
+    noise = (jax.random.normal(sub, latents[:1].shape) if deblur
+             else jnp.zeros_like(latents[:1]))
 
-    for i in range(num_inference_steps):
-        t = jnp.int32(sched.timesteps[i])
-        stereo_active = i >= start_step
+    # Per-step uncond embeddings as one stacked array (null-text gives one
+    # per timestep; the plain path repeats the single embedding).
+    n_u = inv.uncond_embeddings.shape[0]
+    u_idx = np.minimum(np.arange(num_inference_steps), n_u - 1)
+    unconds = inv.uncond_embeddings[jnp.asarray(u_idx)]
 
-        if i == start_step or (stereo_active and i % shift_every == 0
-                               and mask is not None):
-            left = latents[:1]
-            shifted, hit = stereo_shift_with_mask(left, depth_lat,
-                                                  scale_factor)
-            if mask is None:
-                mask = hit[:, None].astype(jnp.float32)     # [1,1,h,w]
-                right = shifted
-                if deblur:                                  # (:657-660)
-                    rng, sub = jax.random.split(rng)
-                    noise = jax.random.normal(sub, shifted.shape)
-                    right = jnp.where(mask > 0.5, shifted, noise)
-            else:                                           # (:662-667)
-                right = jnp.where(mask > 0.5, shifted, latents[1:])
-            latents = jnp.concatenate([left, right], axis=0)
-
-        uncond_i = inv.uncond_embeddings[min(i, len(inv.uncond_embeddings) - 1)]
-        n_views = latents.shape[0]
-        ctx = jnp.concatenate(
-            [jnp.repeat(uncond_i, n_views, axis=0),
-             jnp.repeat(cond, n_views, axis=0)], axis=0)
-        lat_in = schedulers.scale_model_input(
-            sched, jnp.concatenate([latents] * 2, axis=0), t)
-        eps = model.unet_apply(model.unet_params, lat_in, t, ctx,
-                               mode=mode, stereo_active=stereo_active)
-        eps_u, eps_c = jnp.split(eps, 2, axis=0)
-        eps = eps_u + guidance_scale * (eps_c - eps_u)
-        latents = schedulers.scheduler_step(sched, eps, t, latents)
+    run = _denoise_scan(model, sched, mode, num_inference_steps,
+                        start_step, shift_every, deblur, scheduler,
+                        float(scale_factor))
+    latents = run(model.unet_params, latents, depth_lat, cond, unconds,
+                  noise, jnp.float32(guidance_scale))
 
     images = _nan_guard(_to_01(latent_to_image(model, latents)))
     return StereoResult(left=images[:1], right=images[1:])
+
+
+def _denoise_scan(model: DiffusionModel, sched, mode: AttentionMode,
+                  num_steps: int, start_step: int, shift_every: int,
+                  deblur: bool, scheduler_kind: str, scale_factor: float):
+    """Build (and cache on the model bundle) the jitted scanned denoising
+    loop for `text2stereo`.
+
+    TPU-native redesign of the reference's per-step host loop
+    (stereodiffusion_nodes.py:636-674): all step decisions (stereo
+    activation at 20%, first shift, masked re-shift every 20%) are
+    index-derived traced booleans, so the WHOLE 50-step loop is one
+    `lax.scan` — one device program instead of ~50x a-dozen eager
+    dispatches over the device link. `stereo_active` is already a traced
+    bool through every attention layer (attention.py), which is what makes
+    the UNet scan-compatible. guidance_scale stays traced so one compiled
+    loop serves any strength; scale_factor is static because its SIGN
+    picks the z-buffer scatter direction in `_shift_one` at trace time."""
+    cache = getattr(model, "_denoise_scan_cache", None)
+    if cache is None:
+        cache = {}
+        model._denoise_scan_cache = cache
+    key = (num_steps, start_step, shift_every, deblur, scheduler_kind,
+           mode, scale_factor)
+    fn = cache.get(key)
+    if fn is not None:
+        return fn
+
+    ts_host = np.asarray(sched.timesteps)
+
+    @jax.jit
+    def run(unet_params, latents0, depth_lat, cond, unconds, noise,
+            guidance_scale):
+        ts = jnp.asarray(ts_host)
+        mask0 = jnp.zeros_like(latents0[:1, :1])            # [1,1,h,w]
+
+        def body(carry, i):
+            latents, mask = carry
+            t = ts[i]
+            stereo_active = i >= start_step
+            first = i == start_step
+            reshift = stereo_active & jnp.logical_not(first) \
+                & (i % shift_every == 0)
+
+            left = latents[:1]
+            shifted, hit = stereo_shift_with_mask(left, depth_lat,
+                                                  scale_factor)
+            mask = jnp.where(first, hit[:, None].astype(jnp.float32), mask)
+            right_first = (jnp.where(mask > 0.5, shifted, noise)
+                           if deblur else shifted)           # (:657-660)
+            right_re = jnp.where(mask > 0.5, shifted, latents[1:])  # (:662-667)
+            right = jnp.where(first, right_first,
+                              jnp.where(reshift, right_re, latents[1:]))
+            latents = jnp.concatenate([left, right], axis=0)
+
+            ctx = jnp.concatenate(
+                [jnp.repeat(unconds[i], 2, axis=0),
+                 jnp.repeat(cond, 2, axis=0)], axis=0)
+            lat_in = schedulers.scale_model_input(
+                sched, jnp.concatenate([latents] * 2, axis=0), t)
+            eps = model.unet_apply(unet_params, lat_in, t, ctx,
+                                   mode=mode, stereo_active=stereo_active)
+            eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            eps = eps_u + guidance_scale * (eps_c - eps_u)
+            latents = schedulers.scheduler_step(sched, eps, t, latents)
+            return (latents, mask), None
+
+        (latents, _), _ = jax.lax.scan(body, (latents0, mask0),
+                                       jnp.arange(num_steps))
+        return latents
+
+    cache[key] = run
+    return run
 
 
 # ---------------------------------------------------------------------------

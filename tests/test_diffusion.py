@@ -167,6 +167,75 @@ def test_inversion_shapes_and_recon(toy):
     assert np.isfinite(np.asarray(res.latents)).all()
 
 
+@pytest.mark.parametrize("deblur", [True, False])
+def test_text2stereo_scan_matches_per_step_loop(toy, deblur):
+    """The scanned denoising loop (sd_pipeline._denoise_scan) must
+    reproduce the per-step host loop it replaced exactly: same shift /
+    re-shift / deblur decisions at the same step indices, same key
+    sequence for the deblur noise, same scheduler math."""
+    from comfystereo_tpu.diffusion import sd_pipeline
+    from comfystereo_tpu.diffusion.attention import AttentionMode
+    from comfystereo_tpu.diffusion.stereo_latent import stereo_shift_with_mask
+
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(0, 1, (1, 32, 32)).astype(np.float32))
+    steps, gscale, sfactor, seed = 6, 7.5, 5.0, 3
+
+    out = sd_pipeline.text2stereo(toy, img, depth, "p",
+                                  num_inference_steps=steps, deblur=deblur,
+                                  guidance_scale=gscale,
+                                  scale_factor=sfactor, seed=seed,
+                                  null_text_optimization=False)
+
+    # -- oracle: the pre-scan per-step loop, verbatim semantics ------------
+    sched = schedulers.make_ddim(steps)
+    inv = sd_pipeline.invert(toy, img, "p", num_ddim_steps=steps,
+                             null_text_optimization=False)
+    cond = toy.text_encode("p")
+    lh, lw = inv.latents.shape[-2:]
+    depth_lat = jax.image.resize(depth, (1, lh, lw), "bilinear")
+    shift_every = max(int(steps * 0.2), 1)
+    start_step = shift_every
+    mode = AttentionMode(stereo=True, direction="uni", use_cfg=True)
+    loop_rng = jax.random.PRNGKey(seed)
+    latents = jnp.concatenate([inv.latents[-1]] * 2, axis=0)
+    mask = None
+    for i in range(steps):
+        t = jnp.int32(sched.timesteps[i])
+        active = i >= start_step
+        if i == start_step or (active and i % shift_every == 0
+                               and mask is not None):
+            left = latents[:1]
+            shifted, hit = stereo_shift_with_mask(left, depth_lat, sfactor)
+            if mask is None:
+                mask = hit[:, None].astype(jnp.float32)
+                right = shifted
+                if deblur:
+                    loop_rng, sub = jax.random.split(loop_rng)
+                    noise = jax.random.normal(sub, shifted.shape)
+                    right = jnp.where(mask > 0.5, shifted, noise)
+            else:
+                right = jnp.where(mask > 0.5, shifted, latents[1:])
+            latents = jnp.concatenate([left, right], axis=0)
+        u_i = inv.uncond_embeddings[min(i, len(inv.uncond_embeddings) - 1)]
+        ctx = jnp.concatenate([jnp.repeat(u_i, 2, axis=0),
+                               jnp.repeat(cond, 2, axis=0)], axis=0)
+        eps = toy.unet_apply(toy.unet_params,
+                             jnp.concatenate([latents] * 2, axis=0), t,
+                             ctx, mode=mode, stereo_active=active)
+        eps_u, eps_c = jnp.split(eps, 2, axis=0)
+        eps = eps_u + gscale * (eps_c - eps_u)
+        latents = schedulers.scheduler_step(sched, eps, t, latents)
+    images = sd_pipeline._nan_guard(sd_pipeline._to_01(
+        sd_pipeline.latent_to_image(toy, latents)))
+
+    np.testing.assert_allclose(np.asarray(out.left),
+                               np.asarray(images[:1]), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out.right),
+                               np.asarray(images[1:]), atol=2e-6)
+
+
 def test_text2stereo_runs(toy):
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32))
