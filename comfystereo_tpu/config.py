@@ -96,10 +96,12 @@ class StereoConfig:
     max_stretch: int = 8
 
     # Exact sub-interval integration for polylines: bit-parity with the
-    # reference scanline renderer (ops/polylines_exact.py), now a fused
-    # Pallas kernel (~68 ms/frame at 1080p — default). False selects the
-    # supersampled Pallas kernel: ~28 ms/frame at 1080p, parity within a few
-    # LSB at polylines_samples samples/pixel.
+    # reference scanline renderer, computed by the in-kernel breakpoint
+    # walk (pallas/polylines_exact_kernel.py). This is both the exact AND
+    # the fast mode (~7.4 ms/frame at 1080p sharp, ~4.6 soft — round 3).
+    # False selects the legacy supersampled Pallas kernel (~28 ms/frame at
+    # 1080p; parity within a few LSB at polylines_samples samples/pixel),
+    # kept only as a compatibility opt-out.
     polylines_exact: bool = True
     # Supersampling rate for the TPU polylines renderer (samples per output px).
     polylines_samples: int = 8

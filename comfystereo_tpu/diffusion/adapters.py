@@ -79,6 +79,7 @@ def from_flax_diffusers(model_id: str = "runwayml/stable-diffusion-v1-5",
             text_encode=EmbeddingCache(encode),
             latent_channels=4,
             context_dim=getattr(unet.config, "cross_attention_dim", 768),
+            sample_size=8 * getattr(unet.config, "sample_size", 64),
         )
 
     return get_or_load_model(("flax_diffusers", model_id, str(dtype)), load)

@@ -273,6 +273,11 @@ class DiffusionModel:
     # UNet input channels; 9 selects the SD-inpainting concat path
     # (latents + mask + masked-image latents, model_wrappers.py:594-612).
     unet_in_channels: int = 4
+    # Native pixel resolution the model was trained at. The node resizes
+    # inputs to this square before diffusion and resizes results back, like
+    # the reference's unconditional 512x512 normalization
+    # (stereodiffusion_nodes.py:257-260 Standard, :426-430/:563-571 Fast).
+    sample_size: int = 512
 
 
 def make_toy_model(rng: Optional[jax.Array] = None, image_size: int = 32,
@@ -312,4 +317,5 @@ def make_toy_model(rng: Optional[jax.Array] = None, image_size: int = 32,
         text_encode=HashTextEncoder(dim=cfg.context_dim),
         latent_channels=cfg.in_channels,
         context_dim=cfg.context_dim,
+        sample_size=image_size,
     )

@@ -138,14 +138,21 @@ def _denoise_scan(model: DiffusionModel, sched, mode: AttentionMode,
     the UNet scan-compatible. guidance_scale stays traced so one compiled
     loop serves any strength; scale_factor is static because its SIGN
     picks the z-buffer scatter direction in `_shift_one` at trace time."""
+    # Bounded LRU: scale_factor is part of the key (its sign is static in
+    # `_shift_one`), so sweeping many scale values would otherwise
+    # accumulate compiled 50-step UNet programs without bound. 8 entries
+    # covers realistic interactive use; beyond that, oldest recompiles.
+    import collections
+
     cache = getattr(model, "_denoise_scan_cache", None)
     if cache is None:
-        cache = {}
+        cache = collections.OrderedDict()
         model._denoise_scan_cache = cache
     key = (num_steps, start_step, shift_every, deblur, scheduler_kind,
            mode, scale_factor)
     fn = cache.get(key)
     if fn is not None:
+        cache.move_to_end(key)
         return fn
 
     ts_host = np.asarray(sched.timesteps)
@@ -154,7 +161,10 @@ def _denoise_scan(model: DiffusionModel, sched, mode: AttentionMode,
     def run(unet_params, latents0, depth_lat, cond, unconds, noise,
             guidance_scale):
         ts = jnp.asarray(ts_host)
-        mask0 = jnp.zeros_like(latents0[:1, :1])            # [1,1,h,w]
+        # Explicit f32: the scan body promotes the mask carry to f32 via
+        # jnp.where(first, hit.astype(f32), mask); zeros_like(latents)
+        # would trip the carry dtype check if latents are ever bf16.
+        mask0 = jnp.zeros(latents0[:1, :1].shape, jnp.float32)  # [1,1,h,w]
 
         def body(carry, i):
             latents, mask = carry
@@ -165,6 +175,10 @@ def _denoise_scan(model: DiffusionModel, sched, mode: AttentionMode,
                 & (i % shift_every == 0)
 
             left = latents[:1]
+            # Recomputed every step though only consumed at the first-shift
+            # and re-shift steps (~1 in shift_every): intentional — the
+            # unconditional form keeps the scan body branch-free and the
+            # shift is negligible next to the UNet forward.
             shifted, hit = stereo_shift_with_mask(left, depth_lat,
                                                   scale_factor)
             mask = jnp.where(first, hit[:, None].astype(jnp.float32), mask)
@@ -192,6 +206,8 @@ def _denoise_scan(model: DiffusionModel, sched, mode: AttentionMode,
         return latents
 
     cache[key] = run
+    while len(cache) > 8:
+        cache.popitem(last=False)
     return run
 
 

@@ -29,6 +29,18 @@ def _to_numpy(x):
     return np.asarray(x)
 
 
+def _resize_to(arr: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Bilinear-resize [B,H,W,...] to [B,h,w,...] (device-side)."""
+    if arr.shape[1] == h and arr.shape[2] == w:
+        return np.asarray(arr)
+    import jax
+    import jax.numpy as jnp
+
+    out_shape = (arr.shape[0], h, w) + tuple(arr.shape[3:])
+    return np.asarray(jax.image.resize(jnp.asarray(arr), out_shape,
+                                       "bilinear"))
+
+
 def _default_model():
     global _DEFAULT_MODEL
     if _DEFAULT_MODEL is None:
@@ -143,6 +155,18 @@ class StereoDiffusionNode:
                      if pipeline_mode != "Standard (DDIM)" else model_id)
         dmodel = _resolve_model(model, clip, vae, wanted_id, pipeline_mode)
 
+        # Resolution normalization (reference stereodiffusion_nodes.py:
+        # 257-260 Standard, :426-430 Fast): diffusion always runs at the
+        # model's native square sample size (512 for SD1.x); results are
+        # resized back to the input size afterwards (:563-571). Without
+        # this, inputs whose latent dims aren't divisible by
+        # 2^n_downsamples crash the UNet's skip-concats, and conforming
+        # non-native sizes run the model off its training resolution.
+        orig_h, orig_w = img.shape[1], img.shape[2]
+        s = int(getattr(dmodel, "sample_size", 512) or 512)
+        img = _resize_to(img, s, s)
+        dm = _resize_to(dm, s, s)
+
         lefts, rights = [], []
         if pipeline_mode == "Standard (DDIM)":
             # First frame only (reference :226-228).
@@ -166,8 +190,10 @@ class StereoDiffusionNode:
                 lefts.append(np.asarray(out.left))
                 rights.append(np.asarray(out.right))
 
-        left = np.concatenate(lefts, axis=0)
-        right = np.concatenate(rights, axis=0)
+        # Resize back to the caller's resolution (reference :563-571 resizes
+        # BOTH eyes from the 512-space results, left included).
+        left = _resize_to(np.concatenate(lefts, axis=0), orig_h, orig_w)
+        right = _resize_to(np.concatenate(rights, axis=0), orig_h, orig_w)
         pair = np.concatenate([left, right], axis=2)
         return pair, left, right
 

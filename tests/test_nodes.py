@@ -44,6 +44,27 @@ def test_node_depth_resize():
     assert stereo.shape == (1, 48, 128, 3)
 
 
+@pytest.mark.parametrize("hw", [(60, 100), (98, 130)])
+@pytest.mark.parametrize("mode", ["Standard (DDIM)", "Fast (Warp + Inpaint)"])
+def test_stereodiffusion_node_odd_sizes(mode, hw):
+    """Resolution normalization (reference stereodiffusion_nodes.py:257-260,
+    :426-430): inputs of ANY size — including ones whose latent dims are not
+    divisible by the UNet's downsample factor — must run through both node
+    paths and come back at the input resolution."""
+    from comfystereo_tpu.nodes.stereodiffusion import StereoDiffusionNode
+    h, w = hw
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32)
+    dm = rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32)
+    node = StereoDiffusionNode()
+    pair, left, right = node.generate_stereo(
+        img, dm, pipeline_mode=mode, num_inference_steps=2,
+        null_text_optimization=False)
+    assert pair.shape == (1, h, 2 * w, 3)
+    assert left.shape == right.shape == (1, h, w, 3)
+    assert np.isfinite(pair).all()
+
+
 def test_stereodiffusion_node_fast():
     from comfystereo_tpu.nodes.stereodiffusion import StereoDiffusionNode
     rng = np.random.default_rng(0)
