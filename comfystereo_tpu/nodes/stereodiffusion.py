@@ -180,15 +180,16 @@ class StereoDiffusionNode:
             lefts.append(np.asarray(out.left))
             rights.append(np.asarray(out.right))
         else:
-            for i in range(img.shape[0]):
-                out = diffusion.warp_inpaint(
-                    dmodel, jnp.asarray(img[i:i + 1]), jnp.asarray(dm[i:i + 1]),
-                    prompt, divergence=scale_factor,
-                    num_inference_steps=num_inference_steps,
-                    strength=denoise_strength,
-                    guidance_scale=guidance_scale, seed=seed + i)
-                lefts.append(np.asarray(out.left))
-                rights.append(np.asarray(out.right))
+            # All frames in one batched call (per-frame seeds, reference
+            # :379-381); the inpaint loop is one scanned device program.
+            out = diffusion.warp_inpaint(
+                dmodel, jnp.asarray(img), jnp.asarray(dm), prompt,
+                divergence=scale_factor,
+                num_inference_steps=num_inference_steps,
+                strength=denoise_strength, guidance_scale=guidance_scale,
+                seed=seed + np.arange(img.shape[0], dtype=np.uint64))
+            lefts.append(np.asarray(out.left))
+            rights.append(np.asarray(out.right))
 
         # Resize back to the caller's resolution (reference :563-571 resizes
         # BOTH eyes from the 512-space results, left included).

@@ -258,3 +258,25 @@ def test_warp_inpaint_runs(toy):
     assert np.isfinite(np.asarray(out.right)).all()
     # left eye passthrough
     np.testing.assert_allclose(np.asarray(out.left), np.asarray(img))
+
+
+def test_warp_inpaint_batched_equals_per_frame(toy):
+    """The frame-batched Fast path (one scanned device program for all
+    frames, per-frame seeds — reference runs a python loop with
+    seed+frame_idx, stereodiffusion_nodes.py:379-381) produces the same
+    result as processing each frame alone: per-frame PRNG chains are
+    independent of batch packing, and no cross-frame leakage exists in the
+    scanned PLMS inpaint loop."""
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 1, (3, 32, 32, 3)).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(0, 1, (3, 32, 32)).astype(np.float32))
+    seeds = 7 + np.arange(3, dtype=np.uint64)
+    batched = diffusion.warp_inpaint(toy, img, depth, "p",
+                                     num_inference_steps=4, seed=seeds)
+    for i in range(3):
+        single = diffusion.warp_inpaint(toy, img[i:i + 1], depth[i:i + 1],
+                                        "p", num_inference_steps=4,
+                                        seed=int(seeds[i]))
+        np.testing.assert_allclose(np.asarray(batched.right[i]),
+                                   np.asarray(single.right[0]),
+                                   atol=1e-5, rtol=1e-5)

@@ -148,6 +148,44 @@ def test_pndm_step_matches_published_stateful_algorithm():
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("strength", [1.0, 0.6])
+def test_pndm_scan_step_matches_stateful(strength):
+    """pndm_scan_step (index-derived counter logic, stacked 4-slot ets)
+    matches the stateful pndm_step loop — up to jit-fusion rounding (the
+    compiled scan contracts mul+add into FMA; eager dispatch doesn't) —
+    both from the full timestep list and from a strength-truncated one
+    (the inpaint runner's step skipping restarts the counter at 0,
+    reference model_wrappers.py:592-593), running inside one lax.scan."""
+    import jax
+
+    sched = schedulers.make_pndm(8)
+    ts = schedulers.pndm_skip_timesteps(sched, strength)
+    rng = np.random.default_rng(11)
+    sample = jnp.asarray(rng.normal(size=(1, 2, 3)), jnp.float32)
+    eps_seq = jnp.asarray(rng.normal(size=(len(ts), 1, 2, 3)), jnp.float32)
+
+    want = sample
+    state = schedulers.PNDMState()
+    for k, t_host in enumerate(ts):
+        want, state = schedulers.pndm_step(sched, state, eps_seq[k],
+                                           int(t_host), want)
+
+    def body(carry, xs):
+        x, ets, cur = carry
+        i, t, eps = xs
+        x, ets, cur = schedulers.pndm_scan_step(sched, i, t, ets, cur,
+                                                eps, x)
+        return (x, ets, cur), None
+
+    ets0 = jnp.zeros((4,) + sample.shape, sample.dtype)
+    (got, _, _), _ = jax.lax.scan(
+        body, (sample, ets0, jnp.zeros_like(sample)),
+        (jnp.arange(len(ts)), jnp.asarray(np.asarray(ts, np.int32)),
+         eps_seq))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_euler_step_published_formula():
     sched = schedulers.make_euler(10)
     x = jnp.asarray(np.random.default_rng(7).normal(size=(4,)), jnp.float32)
