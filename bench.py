@@ -498,6 +498,45 @@ def run_video(h=720, w=1280, n_frames=48):
     return result
 
 
+def _frozen_cpu_baseline(img_u8, dm255):
+    """CPU stand-in denominator, measured ONCE per host class and frozen in
+    BASELINE_CPU.json next to this file. Returns (cpu_fps, host_label)."""
+    import platform
+
+    host = f"{os.cpu_count()}vcpu-{platform.machine()}"
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_CPU.json")
+    record = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                record = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            record = {}
+    if host in record:
+        return float(record[host]["cpu_fps"]), host
+
+    _cpu_reference_naive(img_u8, dm255)  # warm caches
+    # best-of-3 x 3 reps: least-contended estimate for the frozen value
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _cpu_reference_naive(img_u8, dm255)
+        best = min(best, (time.perf_counter() - t0) / 3)
+    cpu_fps = 1.0 / best
+    record[host] = {"cpu_fps": round(cpu_fps, 4),
+                    "measured": time.strftime("%Y-%m-%d"),
+                    "what": "vectorized-numpy twin of the reference CPU "
+                            "naive path, 1080p single frame, best-of-3x3"}
+    try:
+        with open(path, "w") as f:
+            json.dump(record, f, indent=1)
+    except OSError:
+        pass
+    return cpu_fps, host
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--full", action="store_true",
@@ -551,21 +590,23 @@ def main():
     _sync(out)
     tpu_fps = (B * iters) / (time.perf_counter() - t0)
 
-    # CPU reference baseline (single frame; numpy stand-in for numba kernels)
+    # CPU reference baseline (single frame; numpy stand-in for numba
+    # kernels) — FROZEN per host class (VERDICT r3 item 7: re-measuring it
+    # per run made vs_baseline swing 2-4x between identical-code runs for
+    # host-contention reasons; ms/frame and fps/chip are the cross-round
+    # comparables, vs_baseline is labeled with the host it was frozen on).
     img_u8 = (img0 * 255).astype(np.uint8)
     dm255 = (dm0 * 255).astype(np.float32)
-    _cpu_reference_naive(img_u8, dm255)  # warm caches
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        _cpu_reference_naive(img_u8, dm255)
-    cpu_fps = reps / (time.perf_counter() - t0)
+    cpu_fps, base_host = _frozen_cpu_baseline(img_u8, dm255)
 
     print(json.dumps({
         "metric": "1080p depth->SBS stereo frames/sec/chip",
         "value": round(tpu_fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(tpu_fps / cpu_fps, 2),
+        "ms_per_frame": round(1e3 / tpu_fps, 3),
+        "baseline_fps": round(cpu_fps, 3),
+        "baseline_host": base_host,
     }))
 
     if args.full:
