@@ -40,12 +40,36 @@ The geometry is now computed IN-KERNEL with no sort at all:
   expressions, and WALK 2 runs the winner scan over the same window.
 
 Vectorization: rows on sublanes, columns on lanes. Walk 1 rolls only the
-point plane; walk 2 rolls the packed (x, cl, r, g, b) stack. One dynamic
+point plane; walk 2 rolls the packed (x, cl, rgb24) stack. One dynamic
 pltpu.roll positions each at the window start; each iteration advances with
 a static 1-lane cyclic roll. Per-piece work in walk 2 is PREDICATED on the
 tile's measured piece demand (computed from the collected slots — pieces a
 tile never reaches are a skipped pl.when branch; their val is 0 so the
 finalize already gates them to zero).
+
+Round-4 redesign (DEFERRED COLORS): walk 2 used to blend + select 3 color
+channels per piece per candidate (~40% of its op count). Colors are
+uint8-valued f32 by contract (the dispatcher feeds uint8-derived planes),
+so the 3 channels pack EXACTLY into one f32 mantissa (r*65536 + g*256 + b
+< 2^24) and the walk now tracks only the winner's IDENTITY per piece —
+(packed_left, packed_right, ip) for both the best and the fallback — via
+3 selects instead of 3 blends + 6 selects, and the rolled source stack
+shrinks from 5 planes to 3. The color value is reconstructed ONCE per
+piece after the walk with the oracle's own expression
+col_l*(1-ip) + col_r*ip on the exactly-unpacked integers, so uint8
+bit-parity is preserved (flat candidates store ip = 0, which reproduces
+the oracle's cval = col_l exactly: (1-0)*l + 0*r = l for finite r).
+Two more exactness-preserving cuts ride along:
+  * cand_ok is folded into the operands (x0 poisoned to 1e30 when the
+    source column is out of range) — active = (x0 < center) & (x1 >=
+    center) then needs no per-piece AND;
+  * active implies x0 < center <= x1, hence denom = x1 - x0 > 0 and
+    ip = (center - x0)/denom > 0 (f32 subtraction of distinct same-sign
+    reachable values cannot round to zero here, and every reachable
+    numerator/denominator ratio stays far above the subnormal cliff), so
+    qual drops its ip > 0 compare and the denom == 0 safety select;
+    inactive lanes may compute inf/nan ip but only feed selects whose
+    predicates are already false.
 
 COLUMN TILING: inputs live in ANY/HBM space and each program DMAs a
 (cb + 2*halo)-lane window into VMEM scratch, so per-piece accumulators are
@@ -70,10 +94,10 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, r_hbm, g_hbm, b_hbm,
+def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, pk_hbm,
                  ar_hbm, ag_hbm, ab_hbm, or_hbm, og_hbm, ob_hbm,
                  src_s, sent_s, acc_s, slots_ref, cen_s, sig_s, val_s,
-                 bcl_ref, bcol_ref, nact_ref, fbx_ref, fbcol_ref, sems, *,
+                 bcl_ref, bid_ref, nact_ref, fbx_ref, fbid_ref, sems, *,
                  w: int, cb: int, halo: int, rblock: int, k_total: int,
                  k_pieces: int, k0: int, sharp: bool, max_disp: int,
                  finalize: bool):
@@ -94,16 +118,16 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, r_hbm, g_hbm, b_hbm,
     copies = [pltpu.make_async_copy(
         cols_hbm.at[pl.ds(0, rblock), pl.ds(col0, local)],
         src_s.at[0], sems.at[0])]
-    for k, ref in enumerate((x_hbm, cl_hbm, r_hbm, g_hbm, b_hbm), start=1):
+    for k, ref in enumerate((x_hbm, cl_hbm, pk_hbm), start=1):
         copies.append(pltpu.make_async_copy(
             ref.at[pl.ds(row0, rblock), pl.ds(col0, local)],
             src_s.at[k], sems.at[k]))
     copies.append(pltpu.make_async_copy(
-        sent_hbm.at[pl.ds(row0, rblock), :], sent_s, sems.at[6]))
+        sent_hbm.at[pl.ds(row0, rblock), :], sent_s, sems.at[4]))
     for i, ref in enumerate((ar_hbm, ag_hbm, ab_hbm)):
         copies.append(pltpu.make_async_copy(
             ref.at[pl.ds(row0, rblock), pl.ds(col0, cb)],
-            acc_s.at[i], sems.at[7 + i]))
+            acc_s.at[i], sems.at[5 + i]))
     for c in copies:
         c.start()
     for c in copies:
@@ -112,7 +136,7 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, r_hbm, g_hbm, b_hbm,
     win_cols = src_s[0]            # global column ids (f32; halo pads < 0)
     x = src_s[1]
     cl = src_s[2]
-    img = (src_s[3], src_s[4], src_s[5])
+    pk = src_s[3]                  # rgb24-packed colors (exact, < 2^24)
     out_colsf = win_cols[:, o0:o0 + cb]
     out_cols = out_colsf.astype(jnp.int32)
     colp1 = out_colsf + 1.0
@@ -216,11 +240,9 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, r_hbm, g_hbm, b_hbm,
     # max(col, .)+eps reduces to col+eps; else slots[k-1]); xq1 =
     # sorted[q0+k+1] = slots[k]. +inf slots behave exactly like the right
     # sentinel: t clips to col+1 and the validity chain stops. Pieces the
-    # tile never reaches are skipped (val zeroed so the finalize gates
-    # their garbage scratch to zero).
-    for k in range(k_pieces):
-        val_s[k * rblock:(k + 1) * rblock] = jnp.zeros((rblock, cb),
-                                                       jnp.float32)
+    # tile never reaches are skipped EVERYWHERE (geometry, init, walk 2,
+    # finalize — all under the same khi > k predicate), so their stale
+    # scratch is never read and no val zero-init is needed.
     for k in range(k_pieces):
         @pl.when(khi > k)
         def _piece_geom(k=k):
@@ -240,21 +262,37 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, r_hbm, g_hbm, b_hbm,
             sig_s[sl] = sig
             val_s[sl] = valid
 
-    # ---- Init winner accumulators. -------------------------------------
+    # ---- Init winner accumulators (only the pieces this tile reaches). --
     for k in range(k_pieces):
-        bcl_ref[k * rblock:(k + 1) * rblock] = jnp.full((rblock, cb), -eps)
-        nact_ref[k * rblock:(k + 1) * rblock] = jnp.zeros((rblock, cb),
-                                                          jnp.float32)
-        fbx_ref[k * rblock:(k + 1) * rblock] = jnp.full((rblock, cb), inf)
-        for ch in range(3):
-            off = (k * 3 + ch) * rblock
-            bcol_ref[off:off + rblock] = jnp.zeros((rblock, cb), jnp.float32)
-            fbcol_ref[off:off + rblock] = jnp.zeros((rblock, cb), jnp.float32)
+        @pl.when(khi > k)
+        def _init(k=k):
+            bcl_ref[k * rblock:(k + 1) * rblock] = jnp.full(
+                (rblock, cb), -eps)
+            nact_ref[k * rblock:(k + 1) * rblock] = jnp.zeros(
+                (rblock, cb), jnp.float32)
+            fbx_ref[k * rblock:(k + 1) * rblock] = jnp.full(
+                (rblock, cb), inf)
+            for j in range(3):
+                off = (k * 3 + j) * rblock
+                bid_ref[off:off + rblock] = jnp.zeros((rblock, cb),
+                                                      jnp.float32)
+                fbid_ref[off:off + rblock] = jnp.zeros((rblock, cb),
+                                                       jnp.float32)
 
-    def consider_all_pieces(x0, x1, cl0, cl1, col_l, col_r, cand_ok, flat):
-        """col_l/col_r: 3-tuples of [rblock, cb] channel planes."""
-        denom = x1 - x0
-        safe = jnp.where(denom == 0.0, 1.0, denom)
+    def consider_all_pieces(x0, x1, cl0, cl1, pk_l, pk_r, cand_ok, flat):
+        """pk_l/pk_r: rgb24-packed color planes [rblock, cb].
+
+        The winner scan stores only (pk_l, pk_r, ip) identities; colors are
+        reconstructed bit-exactly in the finalize. Flat candidates (both
+        endpoints share a source column) store ip = 0 and skip the pk_r
+        select: the finalize's (1-0)*l + 0*r is exactly l because every
+        value ever written to the r slot is a finite packed color (or the
+        0 init).
+        """
+        # cand_ok folded into x0 (poisoned candidates can never be active,
+        # and their inf/nan ip only feeds predicated-false selects).
+        x0p = x0 if cand_ok is None else jnp.where(cand_ok, x0, inf)
+        denom = x1 - x0p
         # Static unroll, each piece predicated on the tile's measured
         # demand: every ref address stays static (a fori_loop with
         # dynamic-offset scratch stores blows Mosaic's scoped-vmem stack)
@@ -264,22 +302,29 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, r_hbm, g_hbm, b_hbm,
             def _piece(k=k):
                 sl = slice(k * rblock, (k + 1) * rblock)
                 center = cen_s[sl]
-                active = cand_ok & (x0 < center) & (x1 >= center)
-                ip = (center - x0) / safe
+                active = (x0p < center) & (x1 >= center)
+                # active => x0 < center <= x1 => denom > 0 and ip > 0, so
+                # the reference's ip > 0 qual check and denom == 0 safety
+                # select are provably redundant (see module docstring).
+                ip = (center - x0p) / denom
                 clp = (1.0 - ip) * cl0 + ip * cl1
-                qual = active & (ip > 0.0) & (ip < 1.0)
+                qual = active & (ip < 1.0)
                 better = qual & (clp > bcl_ref[sl])
                 bcl_ref[sl] = jnp.where(better, clp, bcl_ref[sl])
-                fb_take = active & (x0 < fbx_ref[sl])
-                fbx_ref[sl] = jnp.where(fb_take, x0, fbx_ref[sl])
+                fb_take = active & (x0p < fbx_ref[sl])
+                fbx_ref[sl] = jnp.where(fb_take, x0p, fbx_ref[sl])
                 nact_ref[sl] = nact_ref[sl] + active.astype(jnp.float32)
-                for ch in range(3):
-                    cval = col_l[ch] if flat else (
-                        col_l[ch] * (1.0 - ip) + col_r[ch] * ip)
-                    co = slice((k * 3 + ch) * rblock,
-                               (k * 3 + ch + 1) * rblock)
-                    bcol_ref[co] = jnp.where(better, cval, bcol_ref[co])
-                    fbcol_ref[co] = jnp.where(fb_take, cval, fbcol_ref[co])
+                o_l = slice((k * 3) * rblock, (k * 3 + 1) * rblock)
+                o_r = slice((k * 3 + 1) * rblock, (k * 3 + 2) * rblock)
+                o_i = slice((k * 3 + 2) * rblock, (k * 3 + 3) * rblock)
+                bid_ref[o_l] = jnp.where(better, pk_l, bid_ref[o_l])
+                fbid_ref[o_l] = jnp.where(fb_take, pk_l, fbid_ref[o_l])
+                ipw = jnp.zeros_like(ip) if flat else ip
+                bid_ref[o_i] = jnp.where(better, ipw, bid_ref[o_i])
+                fbid_ref[o_i] = jnp.where(fb_take, ipw, fbid_ref[o_i])
+                if not flat:
+                    bid_ref[o_r] = jnp.where(better, pk_r, bid_ref[o_r])
+                    fbid_ref[o_r] = jnp.where(fb_take, pk_r, fbid_ref[o_r])
 
     # Sentinel segments (reference :1920, :1936): per-row scalars
     # precomputed in XLA (cols 0 and w-1 live in other tiles) and extracted
@@ -291,24 +336,23 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, r_hbm, g_hbm, b_hbm,
                        keepdims=True)
 
     zeros = jnp.zeros((rblock, cb), jnp.float32)
-    ones = jnp.ones((rblock, cb), bool)
     first_x = sget(0) + zeros
     last_x = sget(1) + zeros
     cl_first = sget(2) + zeros
     cl_last = sget(3) + zeros
-    img_first = tuple(sget(4 + ch) + zeros for ch in range(3))
-    img_last = tuple(sget(7 + ch) + zeros for ch in range(3))
+    pk_first = sget(4) + zeros
+    pk_last = sget(5) + zeros
     sent_l = jnp.float32(-1.0 * w)
     sent_r = jnp.float32(2.0 * w)
     consider_all_pieces(jnp.full((rblock, cb), sent_l),
                         first_x, zeros, cl_first,
-                        img_first, img_first, ones, True)
+                        pk_first, pk_first, None, True)
     consider_all_pieces(last_x, jnp.full((rblock, cb), sent_r),
                         cl_last, zeros,
-                        img_last, img_last, ones, True)
+                        pk_last, pk_last, None, True)
 
     # ---- WALK 2: winner scan over the same window. ----------------------
-    packed = jnp.concatenate([x, cl, img[0], img[1], img[2]], axis=0)
+    packed = jnp.concatenate([x, cl, pk], axis=0)
     packed = pltpu.roll(packed, shift0, axis=1)
 
     def body2(t, cur):
@@ -319,15 +363,13 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, r_hbm, g_hbm, b_hbm,
         def sl(buf, i):
             return buf[i * rblock:(i + 1) * rblock][:, o0:o0 + cb]
 
-        x_c, cl_c = sl(cur, 0), sl(cur, 1)
-        img_c = tuple(sl(cur, 2 + ch) for ch in range(3))
-        x_n, cl_n = sl(nxt, 0), sl(nxt, 1)
-        img_n = tuple(sl(nxt, 2 + ch) for ch in range(3))
+        x_c, cl_c, pk_c = sl(cur, 0), sl(cur, 1), sl(cur, 2)
+        x_n, cl_n, pk_n = sl(nxt, 0), sl(nxt, 1), sl(nxt, 2)
         if sharp:
             consider_all_pieces(x_c - hw, x_c + hw, cl_c, cl_c,
-                                img_c, img_c,
+                                pk_c, pk_c,
                                 (cp >= 0) & (cp <= w - 1), True)
-        consider_all_pieces(x_c + hw, x_n - hw, cl_c, cl_n, img_c, img_n,
+        consider_all_pieces(x_c + hw, x_n - hw, cl_c, cl_n, pk_c, pk_n,
                             (cp >= 0) & (cp <= w - 2), False)
         return nxt
 
@@ -335,24 +377,50 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, r_hbm, g_hbm, b_hbm,
                                packed)
     del packed
 
-    # Resolve winners and integrate, continuing the carried accumulator
-    # (sequential piece order is preserved across piece-chunked calls so
-    # uint8 bit-parity survives even when VMEM forces a split).
-    acc = [acc_s[ch] for ch in range(3)]
+    # Resolve winners, reconstruct colors from the packed identities, and
+    # integrate, continuing the carried accumulator (sequential piece order
+    # is preserved across piece-chunked calls so uint8 bit-parity survives
+    # even when VMEM forces a split).
+    inv64k = jnp.float32(1.0 / 65536.0)
+    inv256 = jnp.float32(1.0 / 256.0)
+
+    def unpack(p):
+        # Exact for integer p in [0, 2^24): power-of-two scales are exact,
+        # trunc recovers the integer fields, the subtractions are exact.
+        r = jnp.trunc(p * inv64k)
+        rem = p - r * 65536.0
+        g = jnp.trunc(rem * inv256)
+        return r, g, rem - g * 256.0
+
+    # Skipped pieces (khi <= k) would contribute exactly +0.0 to an
+    # accumulator that is always > 0 (0.5-biased, non-negative colors), so
+    # predicating the whole per-piece resolve on the tile demand is
+    # bit-identical — and it is what keeps the deferred-color
+    # reconstruction off the low-demand fast path. Sequential piece order
+    # (the in-place adds below) is preserved across piece-chunked calls so
+    # uint8 bit-parity survives even when VMEM forces a split.
     for k in range(k_pieces):
-        sl = slice(k * rblock, (k + 1) * rblock)
-        use_best = (bcl_ref[sl] > -eps) & (nact_ref[sl] != 1.0)
-        valid = val_s[sl] > 0.5
-        sig = sig_s[sl]
+        @pl.when(khi > k)
+        def _resolve(k=k):
+            sl = slice(k * rblock, (k + 1) * rblock)
+            use_best = (bcl_ref[sl] > -eps) & (nact_ref[sl] != 1.0)
+            valid = val_s[sl] > 0.5
+            sig = sig_s[sl]
+
+            def pick(j, k=k, use_best=use_best):
+                o = slice((k * 3 + j) * rblock, (k * 3 + j + 1) * rblock)
+                return jnp.where(use_best, bid_ref[o], fbid_ref[o])
+
+            col_l = unpack(pick(0))
+            col_r = unpack(pick(1))
+            ip = pick(2)
+            om = 1.0 - ip
+            for ch in range(3):
+                color = col_l[ch] * om + col_r[ch] * ip
+                acc_s[ch] = acc_s[ch] + jnp.where(valid, color * sig, 0.0)
+    if finalize:
         for ch in range(3):
-            co = slice((k * 3 + ch) * rblock, (k * 3 + ch + 1) * rblock)
-            color = jnp.where(use_best, bcol_ref[co], fbcol_ref[co])
-            acc[ch] = acc[ch] + jnp.where(valid, color * sig, 0.0)
-    for ch in range(3):
-        if finalize:
-            acc_s[ch] = jnp.trunc(jnp.clip(acc[ch], 0.0, 255.0))
-        else:
-            acc_s[ch] = acc[ch]
+            acc_s[ch] = jnp.trunc(jnp.clip(acc_s[ch], 0.0, 255.0))
     ocopies = [pltpu.make_async_copy(
         acc_s.at[ch],
         out.at[pl.ds(row0, rblock), pl.ds(col0, cb)], sems.at[ch])
@@ -371,8 +439,11 @@ def polylines_exact_scanline(x, cl, red, green, blue,
                              max_disp: int, interpret: bool = False,
                              cb: int | None = None,
                              k_chunk_override: int | None = None):
-    """x/cl/red/green/blue: [N, W] f32. Returns (r, g, b) [N, W]
-    uint8-valued f32. Piece geometry is computed in-kernel (no sort).
+    """x/cl/red/green/blue: [N, W] f32; the color planes MUST hold exact
+    uint8 values (the dispatcher contract) — they are packed into one
+    rgb24 plane for the deferred-color winner scan. Returns (r, g, b)
+    [N, W] uint8-valued f32. Piece geometry is computed in-kernel (no
+    sort).
 
     cb / k_chunk_override are test hooks: force a column-tile width
     (multiple of 128) or a piece-chunk size smaller than the VMEM budget
@@ -404,8 +475,8 @@ def polylines_exact_scanline(x, cl, red, green, blue,
     # resolution; the piece-chunk loop (accumulator threaded through,
     # sequential piece order preserved for uint8 bit-parity) remains as the
     # overflow valve.
-    fixed = (6 * local + 128 + 3 * cb + k_pieces * cb) * rblock * 4 \
-        + 2 * 6 * rblock * local * 4
+    fixed = (4 * local + 128 + 3 * cb + k_pieces * cb) * rblock * 4 \
+        + 2 * 3 * rblock * local * 4
     per_piece = 12 * rblock * cb * 4
     budget = int((16 << 20) / 1.2)
     k_chunk = max(1, min(k_pieces, (budget - fixed) // per_piece))
@@ -423,18 +494,20 @@ def polylines_exact_scanline(x, cl, red, green, blue,
     # window nor inflate the walk-0 demand count of the last row block.
     x_pad = jnp.broadcast_to(
         jnp.arange(sw, dtype=jnp.float32) - float(halo) + 0.5, (npad, sw))
-    planes = (x_pad.at[:n, halo:halo + w].set(x), pad_src(cl), pad_src(red),
-              pad_src(green), pad_src(blue))
+    # rgb24 pack: colors are uint8-valued f32, so r*65536 + g*256 + b is an
+    # exact integer < 2^24 and round-trips bit-exactly through the kernel's
+    # unpack (see module docstring).
+    pk = red * 65536.0 + green * 256.0 + blue
+    planes = (x_pad.at[:n, halo:halo + w].set(x), pad_src(cl), pad_src(pk))
 
     # Per-row sentinel scalars (reference :1920/:1936 segments at cols 0 and
     # w-1), packed into a 128-lane plane: [first_x, last_x, cl0, clw,
-    # rgb(0), rgb(w-1)].
+    # rgb24(0), rgb24(w-1)].
     hw = 0.45 if sharp else 0.0
     sent = jnp.zeros((npad, 128), jnp.float32)
     for j, v in enumerate((x[:, 0] - hw, x[:, w - 1] + hw,
                            cl[:, 0], cl[:, w - 1],
-                           red[:, 0], green[:, 0], blue[:, 0],
-                           red[:, w - 1], green[:, w - 1], blue[:, w - 1])):
+                           pk[:, 0], pk[:, w - 1])):
         sent = sent.at[:n, j].set(v)
 
     grid = (nrb, ncb)
@@ -453,10 +526,10 @@ def polylines_exact_scanline(x, cl, red, green, blue,
             out_shape=tuple(jax.ShapeDtypeStruct((npad, w2), jnp.float32)
                             for _ in range(3)),
             grid=grid,
-            in_specs=[any_spec] * 10,
+            in_specs=[any_spec] * 8,
             out_specs=(any_spec,) * 3,
             scratch_shapes=[
-                pltpu.VMEM((6, rblock, local), jnp.float32),     # src window
+                pltpu.VMEM((4, rblock, local), jnp.float32),     # src window
                 pltpu.VMEM((rblock, 128), jnp.float32),          # sentinels
                 pltpu.VMEM((3, rblock, cb), jnp.float32),        # acc in/out
                 pltpu.VMEM((k_pieces * rblock, cb), jnp.float32),  # slots
@@ -464,11 +537,11 @@ def polylines_exact_scanline(x, cl, red, green, blue,
                 pltpu.VMEM((kc * rblock, cb), jnp.float32),      # sigs
                 pltpu.VMEM((kc * rblock, cb), jnp.float32),      # valids
                 pltpu.VMEM((kc * rblock, cb), jnp.float32),      # best_cl
-                pltpu.VMEM((kc * 3 * rblock, cb), jnp.float32),  # best col
+                pltpu.VMEM((kc * 3 * rblock, cb), jnp.float32),  # best id
                 pltpu.VMEM((kc * rblock, cb), jnp.float32),      # n_act
                 pltpu.VMEM((kc * rblock, cb), jnp.float32),      # fb_x0
-                pltpu.VMEM((kc * 3 * rblock, cb), jnp.float32),  # fb col
-                pltpu.SemaphoreType.DMA((10,)),
+                pltpu.VMEM((kc * 3 * rblock, cb), jnp.float32),  # fb id
+                pltpu.SemaphoreType.DMA((8,)),
             ],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
