@@ -171,7 +171,7 @@ def _winner_scan_xla(image, x, cl, centers, sigs, valids, sep_px,
     def scan_piece(center):
         def consider(state, x0, x1, cl0, cl1, col_l, col_r, cand_ok,
                      flat=False):
-            best_cl, best_col, n_act, fb_x0, fb_col = state
+            best_cl, best_col, fb_x0, fb_col = state
             active = cand_ok & (x0 < center) & (x1 >= center)
             denom = x1 - x0
             safe = jnp.where(denom == 0.0, 1.0, denom)
@@ -188,8 +188,7 @@ def _winner_scan_xla(image, x, cl, centers, sigs, valids, sep_px,
             fb_take = active & (x0 < fb_x0)
             fb_x0 = jnp.where(fb_take, x0, fb_x0)
             fb_col = jnp.where(fb_take[None], cval, fb_col)
-            n_act = n_act + active.astype(jnp.int32)
-            return (best_cl, best_col, n_act, fb_x0, fb_col)
+            return (best_cl, best_col, fb_x0, fb_col)
 
         def body(t, carry):
             cur, state = carry
@@ -209,8 +208,7 @@ def _winner_scan_xla(image, x, cl, centers, sigs, valids, sep_px,
 
         shape = (b, h, w)
         state = (jnp.full(shape, -_EPS), jnp.zeros((c,) + shape),
-                 jnp.zeros(shape, jnp.int32), jnp.full(shape, inf),
-                 jnp.zeros((c,) + shape))
+                 jnp.full(shape, inf), jnp.zeros((c,) + shape))
         first_x = x[..., :1] - hw
         last_x = x[..., -1:] + hw
         state = consider(state, jnp.broadcast_to(sent_l, shape),
@@ -229,8 +227,13 @@ def _winner_scan_xla(image, x, cl, centers, sigs, valids, sep_px,
                          jnp.ones(shape, bool), flat=True)
         _, state = jax.lax.fori_loop(0, d_hi - d_lo + 1, body,
                                      (planes0, state))
-        best_cl, best_col, n_act, fb_x0, fb_col = state
-        use_best = (best_cl > -_EPS) & (n_act != 1)
+        best_cl, best_col, fb_x0, fb_col = state
+        # The oracle bypasses the best-scan when exactly one segment is
+        # active (`if len(active) != 1`) and uses that segment — but with
+        # one active candidate the best track (qual implies active) and the
+        # fallback track were written by that same candidate with the same
+        # color, so best == fallback and counting n_act is redundant.
+        use_best = best_cl > -_EPS
         return jnp.where(use_best[None], best_col, fb_col)
 
     acc = jnp.full((c, b, h, w), 0.5, jnp.float32)

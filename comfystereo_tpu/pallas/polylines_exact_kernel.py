@@ -71,6 +71,22 @@ Two more exactness-preserving cuts ride along:
     inactive lanes may compute inf/nan ip but only feed selects whose
     predicates are already false.
 
+Round-4 walk-2 redesign (SUB-BLOCKED WINDOWS + HOISTED DEMAND BUCKETS):
+trip count and piece demand are content-local, but round 3 paid the
+tile-global worst case everywhere. Walk 2 now runs per column sub-block
+(384/256 lanes): each block derives its own d-window from the m range
+over its halo'd source window and its own piece-demand bound from the
+collected slots. The demand bound selects one of a few STATIC piece-count
+buckets via a loop-invariant `pl.when` wrapped around the whole trip
+loop, whose piece loop is unpredicated — measured: per-trip per-piece
+predication at 128-lane blocks was 2x SLOWER than the global walk
+(hundreds of scalar branches per trip), while hoisted buckets at 3-vreg
+blocks cut 1080p noise/fold-heavy ~1.7x and smooth ~1.2x. Bit-parity is
+preserved because widening a window or piece bound only adds candidates
+that fail the activity checks, and over-processed pieces (between a
+pixel's demand and its block's bucket cap, or beyond the global khi) are
+zero-contribution via the val plane / never resolved.
+
 COLUMN TILING: inputs live in ANY/HBM space and each program DMAs a
 (cb + 2*halo)-lane window into VMEM scratch, so per-piece accumulators are
 only cb lanes wide and every piece fits in one pass at any real resolution.
@@ -97,7 +113,7 @@ def _cdiv(a: int, b: int) -> int:
 def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, pk_hbm,
                  ar_hbm, ag_hbm, ab_hbm, or_hbm, og_hbm, ob_hbm,
                  src_s, sent_s, acc_s, slots_ref, cen_s, sig_s, val_s,
-                 bcl_ref, bid_ref, nact_ref, fbx_ref, fbid_ref, sems, *,
+                 bcl_ref, bid_ref, fbx_ref, fbid_ref, sems, *,
                  w: int, cb: int, halo: int, rblock: int, k_total: int,
                  k_pieces: int, k0: int, sharp: bool, max_disp: int,
                  finalize: bool):
@@ -191,11 +207,11 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, pk_hbm,
         # does not pay (A/B-measured +4-6% at 1080p/4K). Run the full
         # bubble and read the demand off the slots.
         run_walk1(k_total)
-        demand = jnp.ones((rblock, cb), jnp.float32)
+        demand_px = jnp.ones((rblock, cb), jnp.float32)
         for j in range(k_total - 1):
             sj = slots_ref[j * rblock:(j + 1) * rblock]
-            demand = demand + (sj < colp1).astype(jnp.float32)
-        dmax = jnp.max(demand).astype(jnp.int32)
+            demand_px = demand_px + (sj < colp1).astype(jnp.float32)
+        dmax = jnp.max(demand_px).astype(jnp.int32)
     else:
         # ---- WALK 0 (soft only): measure the tile's piece demand. ------
         # cnt = points landing inside [col, col+1); pixel demand = cnt + 1
@@ -219,6 +235,7 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, pk_hbm,
 
         _, cnt = jax.lax.fori_loop(
             0, trips1, body0, (xroll, jnp.zeros((rblock, cb), jnp.float32)))
+        demand_px = cnt + 1.0
         dmax = jnp.max(cnt).astype(jnp.int32) + 1
 
         caps = [c for c in (4, 8) if c < k_total] + [k_total]
@@ -268,8 +285,6 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, pk_hbm,
         def _init(k=k):
             bcl_ref[k * rblock:(k + 1) * rblock] = jnp.full(
                 (rblock, cb), -eps)
-            nact_ref[k * rblock:(k + 1) * rblock] = jnp.zeros(
-                (rblock, cb), jnp.float32)
             fbx_ref[k * rblock:(k + 1) * rblock] = jnp.full(
                 (rblock, cb), inf)
             for j in range(3):
@@ -279,8 +294,20 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, pk_hbm,
                 fbid_ref[off:off + rblock] = jnp.zeros((rblock, cb),
                                                        jnp.float32)
 
-    def consider_all_pieces(x0, x1, cl0, cl1, pk_l, pk_r, cand_ok, flat):
-        """pk_l/pk_r: rgb24-packed color planes [rblock, cb].
+    def consider_all_pieces(x0, x1, cl0, cl1, pk_l, pk_r, cand_ok, flat,
+                            ls=slice(0, None), cap=None):
+        """pk_l/pk_r: rgb24-packed color planes [rblock, nlanes(ls)].
+
+        ls selects the lane window of the per-piece scratch this call
+        updates (walk 2 runs per column sub-block). cap, when given, is a
+        STATIC piece count and the loop runs unpredicated (the caller has
+        already hoisted the demand check out of its trip loop — a bucket
+        `pl.when` per block, loop-invariant, instead of a branch per
+        piece per candidate per trip); pieces between a pixel's true
+        demand and the cap are zero-contribution via the val plane, and
+        pieces at/above the tile-global khi are never resolved at all.
+        Without cap, each piece is predicated on the tile-global khi
+        (used by the one-time sentinel calls).
 
         The winner scan stores only (pk_l, pk_r, ip) identities; colors are
         reconstructed bit-exactly in the finalize. Flat candidates (both
@@ -293,15 +320,11 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, pk_hbm,
         # and their inf/nan ip only feeds predicated-false selects).
         x0p = x0 if cand_ok is None else jnp.where(cand_ok, x0, inf)
         denom = x1 - x0p
-        # Static unroll, each piece predicated on the tile's measured
-        # demand: every ref address stays static (a fori_loop with
-        # dynamic-offset scratch stores blows Mosaic's scoped-vmem stack)
-        # while pieces the tile never reaches are a skipped branch.
-        for k in range(k_pieces):
-            @pl.when(khi > k)
+
+        def piece_body(k):
             def _piece(k=k):
                 sl = slice(k * rblock, (k + 1) * rblock)
-                center = cen_s[sl]
+                center = cen_s[sl, ls]
                 active = (x0p < center) & (x1 >= center)
                 # active => x0 < center <= x1 => denom > 0 and ip > 0, so
                 # the reference's ip > 0 qual check and denom == 0 safety
@@ -309,22 +332,33 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, pk_hbm,
                 ip = (center - x0p) / denom
                 clp = (1.0 - ip) * cl0 + ip * cl1
                 qual = active & (ip < 1.0)
-                better = qual & (clp > bcl_ref[sl])
-                bcl_ref[sl] = jnp.where(better, clp, bcl_ref[sl])
-                fb_take = active & (x0p < fbx_ref[sl])
-                fbx_ref[sl] = jnp.where(fb_take, x0p, fbx_ref[sl])
-                nact_ref[sl] = nact_ref[sl] + active.astype(jnp.float32)
+                better = qual & (clp > bcl_ref[sl, ls])
+                bcl_ref[sl, ls] = jnp.where(better, clp, bcl_ref[sl, ls])
+                fb_take = active & (x0p < fbx_ref[sl, ls])
+                fbx_ref[sl, ls] = jnp.where(fb_take, x0p, fbx_ref[sl, ls])
                 o_l = slice((k * 3) * rblock, (k * 3 + 1) * rblock)
                 o_r = slice((k * 3 + 1) * rblock, (k * 3 + 2) * rblock)
                 o_i = slice((k * 3 + 2) * rblock, (k * 3 + 3) * rblock)
-                bid_ref[o_l] = jnp.where(better, pk_l, bid_ref[o_l])
-                fbid_ref[o_l] = jnp.where(fb_take, pk_l, fbid_ref[o_l])
+                bid_ref[o_l, ls] = jnp.where(better, pk_l, bid_ref[o_l, ls])
+                fbid_ref[o_l, ls] = jnp.where(fb_take, pk_l,
+                                              fbid_ref[o_l, ls])
                 ipw = jnp.zeros_like(ip) if flat else ip
-                bid_ref[o_i] = jnp.where(better, ipw, bid_ref[o_i])
-                fbid_ref[o_i] = jnp.where(fb_take, ipw, fbid_ref[o_i])
+                bid_ref[o_i, ls] = jnp.where(better, ipw, bid_ref[o_i, ls])
+                fbid_ref[o_i, ls] = jnp.where(fb_take, ipw,
+                                              fbid_ref[o_i, ls])
                 if not flat:
-                    bid_ref[o_r] = jnp.where(better, pk_r, bid_ref[o_r])
-                    fbid_ref[o_r] = jnp.where(fb_take, pk_r, fbid_ref[o_r])
+                    bid_ref[o_r, ls] = jnp.where(better, pk_r,
+                                                 bid_ref[o_r, ls])
+                    fbid_ref[o_r, ls] = jnp.where(fb_take, pk_r,
+                                                  fbid_ref[o_r, ls])
+            return _piece
+
+        if cap is not None:
+            for k in range(cap):
+                piece_body(k)()
+        else:
+            for k in range(k_pieces):
+                pl.when(khi > k)(piece_body(k))
 
     # Sentinel segments (reference :1920, :1936): per-row scalars
     # precomputed in XLA (cols 0 and w-1 live in other tiles) and extracted
@@ -351,31 +385,95 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, pk_hbm,
                         cl_last, zeros,
                         pk_last, pk_last, None, True)
 
-    # ---- WALK 2: winner scan over the same window. ----------------------
-    packed = jnp.concatenate([x, cl, pk], axis=0)
-    packed = pltpu.roll(packed, shift0, axis=1)
+    # ---- WALK 2: winner scan, per column sub-block, demand-bucketed. ----
+    # Trip count and piece demand are both content-local: a smooth region
+    # spans a narrow displacement range (few trips) and a low fold count
+    # (few pieces), but a tile-global window/demand pays the worst pixel's
+    # price everywhere. Each sub-block therefore gets its own d-window
+    # (from the m range over its halo'd source window — covering both
+    # endpoints of every segment the block can see) and its own piece
+    # demand bound. The demand bound is applied as a BUCKETED, hoisted
+    # `pl.when` around a whole trip loop whose piece count is static and
+    # unpredicated — a handful of loop-invariant branches per block
+    # instead of one per piece per candidate per trip (A/B: per-trip
+    # predication at 128-lane blocks measured 2x SLOWER than the global
+    # walk; hoisted buckets at 3-vreg blocks are what pays).
+    # Results are bit-identical: widening a window or piece bound only
+    # adds candidates that fail the activity checks / pieces whose val
+    # plane is zero or that are never resolved (beyond the global khi).
+    stack = jnp.concatenate([x, cl, pk], axis=0)   # (3*rblock, local)
+    halo_s = _cdiv(max_disp + 8, _LANES) * _LANES
+    sb = next((s for s in (384, 256, 128) if cb % s == 0 and cb > s), cb)
+    sub = sb < cb and (sb + 2 * halo_s) <= local
+    caps = [c for c in (2, 4, 6, 8, 10, 12) if c < k_pieces] + [k_pieces]
 
-    def body2(t, cur):
-        nxt = pltpu.roll(cur, local - 1, axis=1)
-        d = d_lo + t
-        cp = out_cols + d
+    def run_block(ls, sw_b, win0, wn, rd0, d_lo_b, trips_b, khi_b):
+        # ls/sw_b: lane window of the cb-wide scratch this block owns;
+        # win0: (3*rblock, wn) source window rolled so that at trip 0 the
+        # candidate source for output lane j sits at window lane rd0 + j.
+        cp0 = out_cols[:, ls]
 
-        def sl(buf, i):
-            return buf[i * rblock:(i + 1) * rblock][:, o0:o0 + cb]
+        def make_body(cap):
+            def body2(t, cur):
+                nxt = pltpu.roll(cur, wn - 1, axis=1)
+                d = d_lo_b + t
+                cp = cp0 + d
 
-        x_c, cl_c, pk_c = sl(cur, 0), sl(cur, 1), sl(cur, 2)
-        x_n, cl_n, pk_n = sl(nxt, 0), sl(nxt, 1), sl(nxt, 2)
-        if sharp:
-            consider_all_pieces(x_c - hw, x_c + hw, cl_c, cl_c,
-                                pk_c, pk_c,
-                                (cp >= 0) & (cp <= w - 1), True)
-        consider_all_pieces(x_c + hw, x_n - hw, cl_c, cl_n, pk_c, pk_n,
-                            (cp >= 0) & (cp <= w - 2), False)
-        return nxt
+                def slc(buf, i):
+                    return buf[i * rblock:(i + 1) * rblock][:,
+                                                            rd0:rd0 + sw_b]
 
-    packed = jax.lax.fori_loop(0, jnp.where(khi > 0, trips, 0), body2,
-                               packed)
-    del packed
+                x_c, cl_c, pk_c = slc(cur, 0), slc(cur, 1), slc(cur, 2)
+                x_n, cl_n, pk_n = slc(nxt, 0), slc(nxt, 1), slc(nxt, 2)
+                if sharp:
+                    consider_all_pieces(x_c - hw, x_c + hw, cl_c, cl_c,
+                                        pk_c, pk_c,
+                                        (cp >= 0) & (cp <= w - 1), True,
+                                        ls=ls, cap=cap)
+                consider_all_pieces(x_c + hw, x_n - hw, cl_c, cl_n,
+                                    pk_c, pk_n,
+                                    (cp >= 0) & (cp <= w - 2), False,
+                                    ls=ls, cap=cap)
+                return nxt
+            return body2
+
+        prev = 0
+        for cap in caps:
+            cond = (khi_b > prev) if cap == k_pieces \
+                else (khi_b > prev) & (khi_b <= cap)
+
+            @pl.when(cond)
+            def _bucket(cap=cap):
+                jax.lax.fori_loop(0, trips_b, make_body(cap), win0)
+
+            prev = cap
+
+    if not sub:
+        run_block(slice(0, cb), cb, pltpu.roll(stack, shift0, axis=1),
+                  local, o0, d_lo, trips, khi)
+    else:
+        wn = sb + 2 * halo_s
+        for s in range(cb // sb):
+            ls = slice(s * sb, (s + 1) * sb)
+            dmax_b = jnp.max(demand_px[:, ls]).astype(jnp.int32)
+            khi_b = jnp.clip(dmax_b - k0, 0, k_pieces)
+            # Extract this block's halo'd source window (static cyclic
+            # roll; wrapped-in lanes map to out-of-range source columns,
+            # killed by the candidate cp bound checks exactly like the
+            # single-tile layout — and their m values only widen the
+            # block window, never change results).
+            sh = (-(o0 + s * sb - halo_s)) % local
+            win = pltpu.roll(stack, sh, axis=1)[:, :wn]
+            wcols = pltpu.roll(win_cols, sh, axis=1)[:, :wn]
+            in_w = (wcols >= 0.0) & (wcols < float(w))
+            mb = jnp.where(in_w, win[0:rblock] - (wcols + 0.5), 0.0)
+            d_lo_b = jnp.maximum(
+                jnp.floor(-jnp.max(mb)).astype(jnp.int32) - 2, -r_static)
+            d_hi_b = jnp.minimum(
+                jnp.ceil(-jnp.min(mb)).astype(jnp.int32) + 2, r_static)
+            win = pltpu.roll(win, jnp.mod(-d_lo_b, wn), axis=1)
+            run_block(ls, sb, win, wn, halo_s, d_lo_b,
+                      d_hi_b - d_lo_b + 1, khi_b)
 
     # Resolve winners, reconstruct colors from the packed identities, and
     # integrate, continuing the carried accumulator (sequential piece order
@@ -403,7 +501,16 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, pk_hbm,
         @pl.when(khi > k)
         def _resolve(k=k):
             sl = slice(k * rblock, (k + 1) * rblock)
-            use_best = (bcl_ref[sl] > -eps) & (nact_ref[sl] != 1.0)
+            # The reference bypasses the best-scan when exactly ONE segment
+            # is active (oracle: `if len(active) != 1`), i.e. it uses the
+            # fallback. But with one active candidate the best track (if
+            # set at all — qual implies active) and the fallback track were
+            # written by THAT SAME candidate with identical ids, so
+            # best == fallback and the n_act != 1 term of use_best is
+            # provably redundant. Dropping it removes a whole per-piece
+            # read-modify-write plane from the walk-2 hot loop while
+            # staying bit-identical.
+            use_best = bcl_ref[sl] > -eps
             valid = val_s[sl] > 0.5
             sig = sig_s[sl]
 
@@ -469,7 +576,7 @@ def polylines_exact_scanline(x, cl, red, green, blue,
     # VMEM budget model (validated against Mosaic's scoped-vmem accounting
     # on v5e): fixed = DMA'd source window + sentinel plane + acc staging +
     # breakpoint slots + double-buffered rolled stacks; per-piece = winner
-    # scratch (9 planes of cb lanes) + cen/sig/val planes. Mosaic's real
+    # scratch (8 planes of cb lanes) + cen/sig/val planes. Mosaic's real
     # usage runs ~1.16x the raw estimate, so budget against 16 MB / 1.2.
     # With column tiling every piece fits in one pass at any real
     # resolution; the piece-chunk loop (accumulator threaded through,
@@ -477,7 +584,7 @@ def polylines_exact_scanline(x, cl, red, green, blue,
     # overflow valve.
     fixed = (4 * local + 128 + 3 * cb + k_pieces * cb) * rblock * 4 \
         + 2 * 3 * rblock * local * 4
-    per_piece = 12 * rblock * cb * 4
+    per_piece = 11 * rblock * cb * 4
     budget = int((16 << 20) / 1.2)
     k_chunk = max(1, min(k_pieces, (budget - fixed) // per_piece))
     if k_chunk_override is not None:
@@ -538,7 +645,6 @@ def polylines_exact_scanline(x, cl, red, green, blue,
                 pltpu.VMEM((kc * rblock, cb), jnp.float32),      # valids
                 pltpu.VMEM((kc * rblock, cb), jnp.float32),      # best_cl
                 pltpu.VMEM((kc * 3 * rblock, cb), jnp.float32),  # best id
-                pltpu.VMEM((kc * rblock, cb), jnp.float32),      # n_act
                 pltpu.VMEM((kc * rblock, cb), jnp.float32),      # fb_x0
                 pltpu.VMEM((kc * 3 * rblock, cb), jnp.float32),  # fb id
                 pltpu.SemaphoreType.DMA((8,)),
