@@ -91,3 +91,36 @@ def test_fused_exact_fold_heavy():
         a = _run("xla", sharp, 7.0, 0.0, depth)
         b = _run("pallas", sharp, 7.0, 0.0, depth)
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_fused_exact_subblock_mixed_demand():
+    """The round-4 walk-2 sub-blocking gives each 384/256-lane column block
+    its own d-window and piece-demand bucket. Feed content whose demand
+    VARIES across blocks — fold-heavy stripes on the left third, flat on
+    the middle, smooth ramp on the right — at a width wide enough for
+    multiple sub-blocks (w=960 -> cb=1024 -> sb=256), so blocks land in
+    different buckets and the per-block windows must still reproduce the
+    XLA scan bit-exactly (both modes)."""
+    h, w = 4, 960
+    rng = np.random.default_rng(7)
+    cols = np.arange(w)[None, :]
+    fold = (np.where(cols % 13 < 6, 255.0, 40.0)
+            + rng.uniform(0, 40, (h, w)))
+    flat = np.full((h, w), 128.0)
+    ramp = np.linspace(0.0, 255.0, w)[None, :] * np.ones((h, 1))
+    depth = np.where(cols < w // 3, fold,
+                     np.where(cols < 2 * w // 3, flat, ramp)).astype(
+                         np.float32)
+    img = fixtures.create_test_image(h, w).astype(np.float32)
+    from comfystereo_tpu.ops import depth as depth_ops
+
+    nd = depth_ops.normalize_depth(jnp.asarray(depth[None])) - 0.5
+    for sharp in (True, False):
+        a = np.asarray(pe.apply_polylines_exact(
+            jnp.asarray(img[None]), nd, 0.045 * w, 0.0, 2.0,
+            sharp=sharp, impl="xla"))[0].astype(np.uint8)
+        b = np.asarray(pe.apply_polylines_exact(
+            jnp.asarray(img[None]), nd, 0.045 * w, 0.0, 2.0,
+            sharp=sharp, impl="pallas"))[0].astype(np.uint8)
+        np.testing.assert_array_equal(a, b, err_msg=f"sharp={sharp}")
