@@ -342,6 +342,20 @@ def _measure_sd_stack(dtype, tag):
     sync(e)
     step_ms = (time.perf_counter() - t0) / 10 * 1e3
 
+    # Batched UNet throughput: the step has a ~10 ms batch-independent
+    # component (the 1.72 GB bf16 weight stream + glue — see NOTES round-4
+    # MFU investigation), so per-sample cost drops sharply with batch.
+    # This is the number the batched Fast video path rides.
+    lat8 = jnp.zeros((8, 4, 64, 64), jnp.float32)
+    ctx8 = jnp.zeros((8, 77, 768), jnp.float32)
+    e = model.unet_apply(model.unet_params, lat8, jnp.float32(500), ctx8)
+    sync(e)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        e = model.unet_apply(model.unet_params, lat8, jnp.float32(500), ctx8)
+    sync(e)
+    b8_ms = (time.perf_counter() - t0) / 10 * 1e3
+
     z = jnp.zeros((1, 4, 64, 64), jnp.float32)
     img = model.vae_decode(model.vae_params, z)
     sync(img)
@@ -382,6 +396,8 @@ def _measure_sd_stack(dtype, tag):
     return [
         {"metric": f"sd15_unet_cfg_step_512px_{tag}",
          "value": round(step_ms, 2), "unit": "ms"},
+        {"metric": f"sd15_unet_step_512px_batch8_per_sample_{tag}",
+         "value": round(b8_ms / 8, 2), "unit": "ms/sample"},
         {"metric": f"sd15_vae_decode_512px_{tag}",
          "value": round(dec_ms, 2), "unit": "ms"},
         {"metric": f"sd15_ddim_50step_estimate_{tag}",

@@ -325,6 +325,26 @@ def test_build_sd_model_tiny_runs_pipelines():
 
 
 @pytest.mark.slow
+def test_text2stereo_bf16_model_scan_carry():
+    """Regression (ADVICE r3): the denoise scan's mask carry is explicit
+    f32 — with a bf16-built model the latents are bf16 and a
+    zeros_like(latents)-typed mask would trip lax.scan's carry dtype
+    check at trace time."""
+    from comfystereo_tpu.diffusion import porting as _p
+    from comfystereo_tpu.diffusion import sd_pipeline
+
+    model = _p.build_sd_model(unet_cfg=TINY_SD_UNET_CONFIG,
+                              vae_cfg=TINY_SD_VAE_CONFIG,
+                              dtype=jnp.bfloat16)
+    img = jax.random.uniform(jax.random.PRNGKey(3), (1, 3, 32, 32)) * 2 - 1
+    depth = jnp.linspace(0, 1, 32 * 32).reshape(1, 32, 32)
+    out = sd_pipeline.text2stereo(model, img, depth, "", scale_factor=5.0,
+                                  num_inference_steps=4, seed=0)
+    assert out.left.shape == (1, 32, 32, 3)
+    assert bool(jnp.isfinite(jnp.asarray(out.right, jnp.float32)).all())
+
+
+@pytest.mark.slow
 def test_nine_channel_inpaint_unet_path():
     """9-ch SD-inpainting UNet: the loop concatenates mask + masked-image
     latents (reference model_wrappers.py:594-612)."""
