@@ -112,11 +112,11 @@ def _cdiv(a: int, b: int) -> int:
 
 def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, pk_hbm,
                  ar_hbm, ag_hbm, ab_hbm, or_hbm, og_hbm, ob_hbm,
-                 src_s, sent_s, acc_s, slots_ref, cen_s, sig_s, val_s,
-                 bcl_ref, bid_ref, fbx_ref, fbid_ref, sems, *,
+                 src_s, sent_s, astg_s, acc_s, slots_ref, cen_s, sig_s,
+                 val_s, bcl_ref, bid_ref, fbx_ref, fbid_ref, sems, osems, *,
                  w: int, cb: int, halo: int, rblock: int, k_total: int,
                  k_pieces: int, k0: int, sharp: bool, max_disp: int,
-                 finalize: bool):
+                 finalize: bool, ncb_grid: int, nprog: int):
     eps = jnp.float32(1e-7)
     hw = jnp.float32(0.45 if sharp else 0.0)
     inf = jnp.float32(1e30)
@@ -131,28 +131,80 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, pk_hbm,
     # output-aligned arrays (acc/out) use the same offset.
     col0 = pl.multiple_of(jb * cb, _LANES)
 
-    copies = [pltpu.make_async_copy(
-        cols_hbm.at[pl.ds(0, rblock), pl.ds(col0, local)],
-        src_s.at[0], sems.at[0])]
-    for k, ref in enumerate((x_hbm, cl_hbm, pk_hbm), start=1):
-        copies.append(pltpu.make_async_copy(
-            ref.at[pl.ds(row0, rblock), pl.ds(col0, local)],
-            src_s.at[k], sems.at[k]))
-    copies.append(pltpu.make_async_copy(
-        sent_hbm.at[pl.ds(row0, rblock), :], sent_s, sems.at[4]))
-    for i, ref in enumerate((ar_hbm, ag_hbm, ab_hbm)):
-        copies.append(pltpu.make_async_copy(
-            ref.at[pl.ds(row0, rblock), pl.ds(col0, cb)],
-            acc_s.at[i], sems.at[5 + i]))
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
+    # ---- Double-buffered input DMA. ------------------------------------
+    # VMEM scratch persists across grid programs, so program pid starts
+    # program pid+1's input copies into the OTHER slot right after waiting
+    # its own — the next program's windows stream from HBM concurrently
+    # with this program's walks, and its wait is a no-op semaphore
+    # decrement. Wait descriptors are reconstructed from pid (identical
+    # src/dst/semaphore to what the previous program started).
+    pid = ib * ncb_grid + jb
+    even = jax.lax.rem(pid, 2) == 0
 
-    win_cols = src_s[0]            # global column ids (f32; halo pads < 0)
-    x = src_s[1]
-    cl = src_s[2]
-    pk = src_s[3]                  # rgb24-packed colors (exact, < 2^24)
+    def in_copies(pid_t, si):
+        ib_t = pid_t // ncb_grid
+        r0 = pl.multiple_of(ib_t * rblock, rblock)
+        c0 = pl.multiple_of((pid_t - ib_t * ncb_grid) * cb, _LANES)
+        cps = [pltpu.make_async_copy(
+            cols_hbm.at[pl.ds(0, rblock), pl.ds(c0, local)],
+            src_s.at[si, 0], sems.at[si, 0])]
+        for k, ref in enumerate((x_hbm, cl_hbm, pk_hbm), start=1):
+            cps.append(pltpu.make_async_copy(
+                ref.at[pl.ds(r0, rblock), pl.ds(c0, local)],
+                src_s.at[si, k], sems.at[si, k]))
+        cps.append(pltpu.make_async_copy(
+            sent_hbm.at[pl.ds(r0, rblock), :], sent_s.at[si],
+            sems.at[si, 4]))
+        for i, ref in enumerate((ar_hbm, ag_hbm, ab_hbm)):
+            cps.append(pltpu.make_async_copy(
+                ref.at[pl.ds(r0, rblock), pl.ds(c0, cb)],
+                astg_s.at[si, i], sems.at[si, 5 + i]))
+        return cps
+
+    if nprog == 1:
+        for c in in_copies(pid, 0):
+            c.start()
+        for c in in_copies(pid, 0):
+            c.wait()
+    else:
+        @pl.when(pid == 0)
+        def _prime():
+            for c in in_copies(pid, 0):
+                c.start()
+
+        @pl.when(even)
+        def _wait0():
+            for c in in_copies(pid, 0):
+                c.wait()
+
+        @pl.when(jnp.logical_not(even))
+        def _wait1():
+            for c in in_copies(pid, 1):
+                c.wait()
+
+        @pl.when(even & (pid + 1 < nprog))
+        def _prefetch1():
+            for c in in_copies(pid + 1, 1):
+                c.start()
+
+        @pl.when(jnp.logical_not(even) & (pid + 1 < nprog))
+        def _prefetch0():
+            for c in in_copies(pid + 1, 0):
+                c.start()
+
+    def pick(a, b):
+        # Slot select as a value op: reads both slots (the unused one may
+        # be uninitialized — lane-wise select never propagates it) so the
+        # rest of the kernel stays branch-free on the slot parity.
+        return jnp.where(jnp.broadcast_to(even, a.shape), a, b)
+
+    win_cols = pick(src_s[0, 0], src_s[1, 0])  # global col ids (halo < 0)
+    x = pick(src_s[0, 1], src_s[1, 1])
+    cl = pick(src_s[0, 2], src_s[1, 2])
+    pk = pick(src_s[0, 3], src_s[1, 3])        # rgb24-packed colors
+    sent_v = pick(sent_s[0], sent_s[1])
+    for ch in range(3):
+        acc_s[ch] = pick(astg_s[0, ch], astg_s[1, ch])
     out_colsf = win_cols[:, o0:o0 + cb]
     out_cols = out_colsf.astype(jnp.int32)
     colp1 = out_colsf + 1.0
@@ -366,7 +418,7 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, pk_hbm,
     lane = jax.lax.broadcasted_iota(jnp.int32, (rblock, 128), 1)
 
     def sget(j):
-        return jnp.sum(jnp.where(lane == j, sent_s[:], 0.0), axis=1,
+        return jnp.sum(jnp.where(lane == j, sent_v, 0.0), axis=1,
                        keepdims=True)
 
     zeros = jnp.zeros((rblock, cb), jnp.float32)
@@ -530,7 +582,7 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, pk_hbm,
             acc_s[ch] = jnp.trunc(jnp.clip(acc_s[ch], 0.0, 255.0))
     ocopies = [pltpu.make_async_copy(
         acc_s.at[ch],
-        out.at[pl.ds(row0, rblock), pl.ds(col0, cb)], sems.at[ch])
+        out.at[pl.ds(row0, rblock), pl.ds(col0, cb)], osems.at[ch])
         for ch, out in enumerate((or_hbm, og_hbm, ob_hbm))]
     for c in ocopies:
         c.start()
@@ -582,8 +634,9 @@ def polylines_exact_scanline(x, cl, red, green, blue,
     # resolution; the piece-chunk loop (accumulator threaded through,
     # sequential piece order preserved for uint8 bit-parity) remains as the
     # overflow valve.
-    fixed = (4 * local + 128 + 3 * cb + k_pieces * cb) * rblock * 4 \
-        + 2 * 3 * rblock * local * 4
+    # (src window, sentinel, acc staging are 2-slot double buffers.)
+    fixed = (2 * (4 * local + 128 + 3 * cb) + 3 * cb + k_pieces * cb) \
+        * rblock * 4 + 2 * 3 * rblock * local * 4
     per_piece = 11 * rblock * cb * 4
     budget = int((16 << 20) / 1.2)
     k_chunk = max(1, min(k_pieces, (budget - fixed) // per_piece))
@@ -627,7 +680,8 @@ def polylines_exact_scanline(x, cl, red, green, blue,
         kernel = functools.partial(_scan_kernel, w=w, cb=cb, halo=halo,
                                    rblock=rblock, k_total=k_pieces,
                                    k_pieces=kc, k0=k0, sharp=sharp,
-                                   max_disp=max_disp, finalize=finalize)
+                                   max_disp=max_disp, finalize=finalize,
+                                   ncb_grid=ncb, nprog=nrb * ncb)
         accs = pl.pallas_call(
             kernel,
             out_shape=tuple(jax.ShapeDtypeStruct((npad, w2), jnp.float32)
@@ -636,9 +690,10 @@ def polylines_exact_scanline(x, cl, red, green, blue,
             in_specs=[any_spec] * 8,
             out_specs=(any_spec,) * 3,
             scratch_shapes=[
-                pltpu.VMEM((4, rblock, local), jnp.float32),     # src window
-                pltpu.VMEM((rblock, 128), jnp.float32),          # sentinels
-                pltpu.VMEM((3, rblock, cb), jnp.float32),        # acc in/out
+                pltpu.VMEM((2, 4, rblock, local), jnp.float32),  # src 2-slot
+                pltpu.VMEM((2, rblock, 128), jnp.float32),       # sentinels
+                pltpu.VMEM((2, 3, rblock, cb), jnp.float32),     # acc staging
+                pltpu.VMEM((3, rblock, cb), jnp.float32),        # acc working
                 pltpu.VMEM((k_pieces * rblock, cb), jnp.float32),  # slots
                 pltpu.VMEM((kc * rblock, cb), jnp.float32),      # centers
                 pltpu.VMEM((kc * rblock, cb), jnp.float32),      # sigs
@@ -647,7 +702,8 @@ def polylines_exact_scanline(x, cl, red, green, blue,
                 pltpu.VMEM((kc * 3 * rblock, cb), jnp.float32),  # best id
                 pltpu.VMEM((kc * rblock, cb), jnp.float32),      # fb_x0
                 pltpu.VMEM((kc * 3 * rblock, cb), jnp.float32),  # fb id
-                pltpu.SemaphoreType.DMA((8,)),
+                pltpu.SemaphoreType.DMA((2, 8)),
+                pltpu.SemaphoreType.DMA((3,)),
             ],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
