@@ -342,6 +342,13 @@ def test_text2stereo_bf16_model_scan_carry():
                                   num_inference_steps=4, seed=0)
     assert out.left.shape == (1, 32, 32, 3)
     assert bool(jnp.isfinite(jnp.asarray(out.right, jnp.float32)).all())
+    # Same check for the scanned PLMS inpaint path (its ets/latents
+    # carries must stay f32 through the model's f32 interfaces).
+    img01 = jnp.transpose(img, (0, 2, 3, 1)) / 2 + 0.5
+    out2 = sd_pipeline.warp_inpaint(model, img01, depth,
+                                    num_inference_steps=3, seed=1)
+    assert out2.right.shape == (1, 32, 32, 3)
+    assert bool(jnp.isfinite(jnp.asarray(out2.right, jnp.float32)).all())
 
 
 @pytest.mark.slow
