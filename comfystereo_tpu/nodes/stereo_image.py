@@ -65,32 +65,79 @@ class StereoImageNode:
                 "image": ("IMAGE",),
                 "depth_map": ("IMAGE",),
                 "modes": (list(MODES[:5]),),
-                "fill_technique": (list(UI_FILL_MAPPING.keys())[:8],
-                                   {"default": "GPU Warp (Fast)"}),
+                "fill_technique": (list(UI_FILL_MAPPING.keys())[:8], {
+                    "default": "GPU Warp (Fast)",
+                    "tooltip": "How disoccluded (newly revealed) areas are "
+                               "filled. 'GPU Warp (Fast)' is the fast "
+                               "accelerator warp; 'No fill' leaves gaps "
+                               "black; 'No fill - Reverse projection' fills "
+                               "by reverse projection (artifacts possible); "
+                               "'Imperfect fill - Hybrid Edge' mixes "
+                               "edge-based fill; the remaining 'Fill' "
+                               "variants trade quality for speed with "
+                               "different gap-filling algorithms."}),
             },
             "optional": {
-                "divergence": ("FLOAT", {"default": 4.5, "min": 0.05,
-                                         "max": 15, "step": 0.01}),
-                "separation": ("FLOAT", {"default": 0, "min": -5, "max": 5,
-                                         "step": 0.01}),
-                "stereo_balance": ("FLOAT", {"default": 0, "min": -0.95,
-                                             "max": 0.95, "step": 0.05}),
-                "convergence_point": ("FLOAT", {"default": 0.5, "min": 0.0,
-                                                "max": 1.0, "step": 0.05}),
-                "stereo_offset_exponent": ("FLOAT", {"default": 2, "min": 0.1,
-                                                     "max": 2, "step": 0.1}),
-                "depth_map_blur": ("BOOLEAN", {"default": True}),
-                "depth_blur_edge_threshold": ("FLOAT", {"default": 20,
-                                                        "min": 0.1, "max": 60,
-                                                        "step": 0.1}),
-                "depth_blur_strength": ("FLOAT", {"default": 20, "min": 0.1,
-                                                  "max": 200, "step": 0.1}),
-                "depth_blur_falloff": ("FLOAT", {"default": 2.0, "min": 0.1,
-                                                 "max": 4.0, "step": 0.1}),
-                "depth_blur_vert_smooth": ("INT", {"default": 6, "min": 0,
-                                                   "max": 15, "step": 1}),
-                "batch_size": ("INT", {"default": 12, "min": 1, "max": 64,
-                                       "step": 1}),
+                "divergence": ("FLOAT", {
+                    "default": 4.5, "min": 0.05, "max": 15, "step": 0.01,
+                    "tooltip": "Strength of the stereo effect. Larger values "
+                               "deepen the 3D impression but can become "
+                               "uncomfortable to view."}),
+                "separation": ("FLOAT", {
+                    "default": 0, "min": -5, "max": 5, "step": 0.01,
+                    "tooltip": "Extra horizontal offset between the stereo "
+                               "pair. Positive widens, negative narrows; "
+                               "useful for tuning the effect and reducing "
+                               "ghosting."}),
+                "stereo_balance": ("FLOAT", {
+                    "default": 0, "min": -0.95, "max": 0.95, "step": 0.05,
+                    "tooltip": "How the total shift is split between the two "
+                               "eyes. Positive biases the left image, "
+                               "negative the right; compensates an "
+                               "unbalanced stereo effect."}),
+                "convergence_point": ("FLOAT", {
+                    "default": 0.5, "min": 0.0, "max": 1.0, "step": 0.05,
+                    "tooltip": "Depth plane where the eyes converge (zero "
+                               "parallax): 0.0 converges at the far plane, "
+                               "1.0 at the near plane."}),
+                "stereo_offset_exponent": ("FLOAT", {
+                    "default": 2, "min": 0.1, "max": 2, "step": 0.1,
+                    "tooltip": "Exponent of the depth-to-shift curve. Higher "
+                               "values emphasize near depths; lower values "
+                               "spread the effect evenly across all "
+                               "depths."}),
+                "depth_map_blur": ("BOOLEAN", {
+                    "default": True,
+                    "tooltip": "Blur the depth map before warping. Smooths "
+                               "noise and depth transitions, improving "
+                               "results around high-frequency detail."}),
+                "depth_blur_edge_threshold": ("FLOAT", {
+                    "default": 20, "min": 0.1, "max": 60, "step": 0.1,
+                    "tooltip": "Edge-preservation threshold for the depth "
+                               "blur. Lower keeps more edges crisp; higher "
+                               "lets the blur cross more edges."}),
+                "depth_blur_strength": ("FLOAT", {
+                    "default": 20, "min": 0.1, "max": 200, "step": 0.1,
+                    "tooltip": "Intensity of the depth-map blur. Higher "
+                               "smooths noisy or harsh depth maps more, at "
+                               "the cost of fine depth detail."}),
+                "depth_blur_falloff": ("FLOAT", {
+                    "default": 2.0, "min": 0.1, "max": 4.0, "step": 0.1,
+                    "tooltip": "Falloff curve of blur influence away from "
+                               "edges (1.0 = linear). Higher keeps the blur "
+                               "tight to edges — better for thin objects; "
+                               "lower spreads a softer influence."}),
+                "depth_blur_vert_smooth": ("INT", {
+                    "default": 6, "min": 0, "max": 15, "step": 1,
+                    "tooltip": "Vertical smoothing radius (px) on the blur "
+                               "weight map; blends activation across rows to "
+                               "remove horizontal stripe artifacts. 0 "
+                               "disables; 3-7 is typical."}),
+                "batch_size": ("INT", {
+                    "default": 12, "min": 1, "max": 64, "step": 1,
+                    "tooltip": "Frames processed per device batch. Smaller "
+                               "uses less accelerator memory; larger is "
+                               "usually faster."}),
             },
         }
 

@@ -96,33 +96,74 @@ class StereoDiffusionNode:
             "required": {
                 "image": ("IMAGE",),
                 "depth_map": ("IMAGE",),
-                "scale_factor": ("FLOAT", {"default": 5.0, "min": 1.0,
-                                           "max": 20.0, "step": 0.5}),
-                "direction": (["uni", "bi"], {"default": "uni"}),
-                "deblur": ("BOOLEAN", {"default": False}),
-                "pipeline_mode": (list(PIPELINE_MODES),
-                                  {"default": "Fast (Warp + Inpaint)"}),
-                "guidance_scale": ("FLOAT", {"default": 3.0, "min": 0.0,
-                                             "max": 20.0, "step": 0.5}),
-                "num_inference_steps": ("INT", {"default": 20, "min": 1,
-                                                "max": 100, "step": 1}),
-                "seed": ("INT", {"default": 1337, "min": 0,
-                                 "max": 0xffffffffffffffff,
-                                 "control_after_generate": True}),
+                "scale_factor": ("FLOAT", {
+                    "default": 5.0, "min": 1.0, "max": 20.0, "step": 0.5,
+                    "tooltip": "Disparity strength of the generated stereo "
+                               "effect."}),
+                "direction": (["uni", "bi"], {
+                    "default": "uni",
+                    "tooltip": "Cross-view attention direction: uni = "
+                               "one-way (left guides right), bi = "
+                               "two-way."}),
+                "deblur": ("BOOLEAN", {
+                    "default": False,
+                    "tooltip": "Inject noise into unfilled regions so the "
+                               "model does not blur them."}),
+                "pipeline_mode": (list(PIPELINE_MODES), {
+                    "default": "Fast (Warp + Inpaint)",
+                    "tooltip": "Standard: DDIM inversion — higher quality, "
+                               "slow. Fast: depth-warp the image, then "
+                               "AI-inpaint only the revealed gaps — quick, "
+                               "compatible with turbo/LCM models."}),
+                "guidance_scale": ("FLOAT", {
+                    "default": 3.0, "min": 0.0, "max": 20.0, "step": 0.5,
+                    "tooltip": "Classifier-free guidance scale. Standard "
+                               "mode: 3-10. Turbo checkpoints: 0.0. LCM: "
+                               "1.0-2.0."}),
+                "num_inference_steps": ("INT", {
+                    "default": 20, "min": 1, "max": 100, "step": 1,
+                    "tooltip": "Denoising steps. Standard DDIM: 30-100 "
+                               "(50 typical). Fast inpainting: 20-30. "
+                               "Turbo/LCM: 1-8."}),
+                "seed": ("INT", {
+                    "default": 1337, "min": 0,
+                    "max": 0xffffffffffffffff,
+                    "control_after_generate": True,
+                    "tooltip": "PRNG seed for reproducible outputs."}),
             },
             "optional": {
-                "null_text_optimization": ("BOOLEAN", {"default": True}),
-                "denoise_strength": ("FLOAT", {"default": 0.6, "min": 0.1,
-                                               "max": 1.0, "step": 0.05}),
-                "model": ("MODEL",),
-                "clip": ("CLIP",),
-                "vae": ("VAE",),
-                "model_id": ("STRING",
-                             {"default": "runwayml/stable-diffusion-v1-5"}),
-                "inpaint_model_id": (
-                    "STRING",
-                    {"default": "runwayml/stable-diffusion-inpainting"}),
-                "prompt": ("STRING", {"default": "", "multiline": True}),
+                "null_text_optimization": ("BOOLEAN", {
+                    "default": True,
+                    "tooltip": "Optimize the null-text embedding for a more "
+                               "faithful reconstruction (Standard mode "
+                               "only)."}),
+                "denoise_strength": ("FLOAT", {
+                    "default": 0.6, "min": 0.1, "max": 1.0, "step": 0.05,
+                    "tooltip": "Noise added before denoising in Fast mode. "
+                               "Lower preserves the original; higher gives "
+                               "the model more freedom to fill gaps."}),
+                "model": ("MODEL", {
+                    "tooltip": "ComfyUI MODEL input. Fast mode: connect an "
+                               "inpainting model (9-channel UNet). Standard "
+                               "mode: any SD1/SD2 model."}),
+                "clip": ("CLIP", {
+                    "tooltip": "CLIP from Load Checkpoint."}),
+                "vae": ("VAE", {
+                    "tooltip": "VAE from Load Checkpoint."}),
+                "model_id": ("STRING", {
+                    "default": "runwayml/stable-diffusion-v1-5",
+                    "tooltip": "Fallback HuggingFace model id used by "
+                               "Standard mode when no ComfyUI model is "
+                               "connected."}),
+                "inpaint_model_id": ("STRING", {
+                    "default": "runwayml/stable-diffusion-inpainting",
+                    "tooltip": "Fallback inpainting model id used by Fast "
+                               "mode when no ComfyUI model is connected."}),
+                "prompt": ("STRING", {
+                    "default": "", "multiline": True,
+                    "tooltip": "Optional text prompt guiding the inpainting "
+                               "(Fast mode); describing the image content "
+                               "improves gap filling."}),
             },
         }
 
