@@ -69,23 +69,37 @@ def _resolve_model(model=None, clip=None, vae=None, model_id="",
         text_enc = getattr(clip, "cond_stage_model", clip)
         return from_torch_modules(unet, vae, tokenizer, text_enc)
     if model_id:
+        # Native hub/dir path first: id-or-path -> local diffusers dir
+        # (cache hit or download-with-retry, reference model_loader.py:62-85)
+        # -> native flax port. The flax-diffusers adapter is the fallback for
+        # users who keep flax-format checkpoints around.
+        from ..diffusion import model_loader
+
+        scheduler_type = ("euler"
+                          if pipeline_mode != "Standard (DDIM)" else "ddim")
+        errors = []
+        try:
+            return model_loader.load_sd_model(model_id, scheduler_type)
+        except model_loader.ModelUnavailableError as e:
+            errors.extend(e.attempts)
+        except Exception as e:
+            errors.append(f"native port: {type(e).__name__}: {e}")
         try:
             from ..diffusion.adapters import from_flax_diffusers
 
             return from_flax_diffusers(model_id)
-        except Exception:
-            pass
-        import os
-
-        if os.path.isdir(model_id):
-            try:
-                from ..diffusion.porting import load_sd_from_diffusers_dir
-
-                return load_sd_from_diffusers_dir(model_id)
-            except Exception as e:
-                print(f"[comfystereo-tpu] could not port {model_id}: {e}")
-        print(f"[comfystereo-tpu] model '{model_id}' unavailable "
-              "(no local cache); falling back to the offline toy model")
+        except Exception as e:
+            errors.append(f"flax-diffusers adapter: {type(e).__name__}: {e}")
+        # LOUD fallback (VERDICT r4): print the full attempt trail so a
+        # silently-wrong toy-model render can't masquerade as SD output.
+        print("=" * 70)
+        print(f"[comfystereo-tpu] WARNING: model '{model_id}' could not be "
+              "loaded — FALLING BACK TO THE OFFLINE TOY MODEL.")
+        print("[comfystereo-tpu] Outputs will NOT be Stable Diffusion "
+              "quality. Attempt trail:")
+        for err in errors:
+            print(f"[comfystereo-tpu]   - {err}")
+        print("=" * 70)
     return _default_model()
 
 
