@@ -202,7 +202,7 @@ class PersistentNativeViewer:
 
     # -- the hardware render loop -------------------------------------------
 
-    def run(self):  # pragma: no cover - requires OpenXR hardware
+    def run(self):
         """Create the OpenXR session and render until quit (ref :349-646)."""
         if not PYOPENXR_AVAILABLE:
             raise RuntimeError(
@@ -237,7 +237,7 @@ class PersistentNativeViewer:
         finally:
             self._teardown(context_provider)
 
-    def _run_frames(self, ctx, context_provider):  # pragma: no cover - GL
+    def _run_frames(self, ctx, context_provider):
         from OpenGL import GL
 
         from . import rendering
@@ -267,7 +267,7 @@ class PersistentNativeViewer:
 
     # -- GL helpers (each assumes an active GL context) -----------------------
 
-    def _load_media_gl(self):  # pragma: no cover - GL
+    def _load_media_gl(self):
         from OpenGL import GL
 
         from .media import load_image_texture, update_texture_from_frame
@@ -304,7 +304,7 @@ class PersistentNativeViewer:
             self._aspect = calculate_aspect_ratio(w, h, self.state.stereo_format)
         self._geometry_key = None  # force a rebuild for the new aspect
 
-    def _setup_geometry_gl(self):  # pragma: no cover - GL
+    def _setup_geometry_gl(self):
         from OpenGL import GL
 
         from . import rendering
@@ -318,7 +318,7 @@ class PersistentNativeViewer:
         self._index_count = int(idx.size)
         self._geometry_key = geometry_key(self.state, self._aspect)
 
-    def _sync_audio_pause(self):  # pragma: no cover - GL/audio
+    def _sync_audio_pause(self):
         if self.audio is None:
             self._was_paused = self.state.paused
             return
@@ -330,7 +330,7 @@ class PersistentNativeViewer:
             self.audio.play(start=pos)
         self._was_paused = self.state.paused
 
-    def _advance_video_gl(self):  # pragma: no cover - GL
+    def _advance_video_gl(self):
         from .media import update_texture_from_frame
 
         cap = self.video_capture
@@ -358,7 +358,7 @@ class PersistentNativeViewer:
         update_texture_from_frame(self._texture, frame)
         self._last_frame_time = now
 
-    def _render_control_window(self, context_provider):  # pragma: no cover
+    def _render_control_window(self, context_provider):
         """Help overlay in the visible GLFW control window (ref :140-195)."""
         from OpenGL import GL
         import glfw
@@ -433,7 +433,7 @@ class PersistentNativeViewer:
             print(f"[comfystereo-tpu] help overlay unavailable: {e}")
             return None
 
-    def _render_eye(self, view, eye):  # pragma: no cover - GL
+    def _render_eye(self, view, eye):
         from OpenGL import GL
 
         from . import math3d
@@ -463,7 +463,7 @@ class PersistentNativeViewer:
                           GL.GL_UNSIGNED_INT, None)
         GL.glBindVertexArray(0)
 
-    def _release_gl(self):  # pragma: no cover - GL
+    def _release_gl(self):
         """Delete GL resources while the context is still alive (ref :558-601)."""
         from OpenGL import GL
 
