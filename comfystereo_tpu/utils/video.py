@@ -13,6 +13,7 @@ multithreaded, ~10x numpy at 4K — and falls back to numpy otherwise.
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Iterator, Optional, Tuple
@@ -173,8 +174,13 @@ def convert_video(video_path: str, depth_video_path: str, out_path: str,
                 for f in arr[:n]:
                     if writer_box[0] is None:
                         h, w = f.shape[:2]
+                        # Codec by extension: .avi gets lossless FFV1 (the
+                        # bit-exact regression-fixture path), everything
+                        # else the portable mp4v default.
+                        ext = os.path.splitext(out_path)[1].lower()
+                        fourcc = "FFV1" if ext == ".avi" else "mp4v"
                         writer_box[0] = cv2.VideoWriter(
-                            out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                            out_path, cv2.VideoWriter_fourcc(*fourcc), fps,
                             (w, h))
                     writer_box[0].write(f)
                 written[0] += n
