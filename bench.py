@@ -466,6 +466,15 @@ def run_sd_delta(seed=0):
     scale = float(jnp.abs(e32).mean())
     eps_err = float(jnp.abs(e32 - e16).mean()) / max(scale, 1e-9)
 
+    # w8 (int8 weight storage) quality on the same weights: the HBM-
+    # residency mode's cost vs full f32 (see porting.build_sd_model).
+    mw8 = porting_mod.build_sd_model(
+        unet_cfg=SDUNetConfig(), vae_cfg=SDVAEConfig(),
+        unet_params=m32.unet_params, vae_params=m32.vae_params,
+        dtype=jnp.bfloat16, weight_quant=True)
+    ew8 = mw8.unet_apply(mw8.unet_params, lat, jnp.float32(500), ctx)
+    w8_err = float(jnp.abs(e32 - ew8).mean()) / max(scale, 1e-9)
+
     d32 = m32.vae_decode(m32.vae_params, lat[:1])
     d16 = m16.vae_decode(m16.vae_params, lat[:1])
 
@@ -475,6 +484,8 @@ def run_sd_delta(seed=0):
     du = jnp.abs(to_u8(d32).astype(jnp.int32) - to_u8(d16).astype(jnp.int32))
     results = [
         {"metric": "sd15_bf16_unet_eps_rel_err", "value": round(eps_err, 5),
+         "unit": "mean_abs/scale"},
+        {"metric": "sd15_w8_unet_eps_rel_err", "value": round(w8_err, 5),
          "unit": "mean_abs/scale"},
         {"metric": "sd15_bf16_vae_decode_u8_delta",
          "value": float(jnp.mean(du)), "unit": "mean_lsb",
