@@ -192,19 +192,20 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, pk_hbm,
             for c in in_copies(pid + 1, 0):
                 c.start()
 
-    def pick(a, b):
-        # Slot select as a value op: reads both slots (the unused one may
-        # be uninitialized — lane-wise select never propagates it) so the
-        # rest of the kernel stays branch-free on the slot parity.
-        return jnp.where(jnp.broadcast_to(even, a.shape), a, b)
-
-    win_cols = pick(src_s[0, 0], src_s[1, 0])  # global col ids (halo < 0)
-    x = pick(src_s[0, 1], src_s[1, 1])
-    cl = pick(src_s[0, 2], src_s[1, 2])
-    pk = pick(src_s[0, 3], src_s[1, 3])        # rgb24-packed colors
-    sent_v = pick(sent_s[0], sent_s[1])
+    # Slot reads are indexed DYNAMICALLY on the parity (a VMEM address
+    # computation), never touching the other slot — the slot an in-flight
+    # prefetch DMA is concurrently writing is not read at all. (A previous
+    # revision read both slots and lane-selected; that relied on the select
+    # discarding the racy arm, which only holds for a true lane-wise
+    # select lowering.)
+    slot = jax.lax.rem(pid, 2)
+    win_cols = src_s[slot, 0]  # global col ids (halo lanes < 0)
+    x = src_s[slot, 1]
+    cl = src_s[slot, 2]
+    pk = src_s[slot, 3]        # rgb24-packed colors
+    sent_v = sent_s[slot]
     for ch in range(3):
-        acc_s[ch] = pick(astg_s[0, ch], astg_s[1, ch])
+        acc_s[ch] = astg_s[slot, ch]
     out_colsf = win_cols[:, o0:o0 + cb]
     out_cols = out_colsf.astype(jnp.int32)
     colp1 = out_colsf + 1.0
