@@ -112,8 +112,9 @@ def _cdiv(a: int, b: int) -> int:
 
 def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, pk_hbm,
                  ar_hbm, ag_hbm, ab_hbm, or_hbm, og_hbm, ob_hbm,
-                 src_s, sent_s, astg_s, acc_s, slots_ref, cen_s, sig_s,
-                 val_s, bcl_ref, bid_ref, fbx_ref, fbid_ref, sems, osems, *,
+                 src_s, sent_s, astg_s, acc_s, ostg_s, slots_ref, cen_s,
+                 sig_s, val_s, bcl_ref, bid_ref, fbx_ref, fbid_ref, sems,
+                 osems, *,
                  w: int, cb: int, halo: int, rblock: int, k_total: int,
                  k_pieces: int, k0: int, sharp: bool, max_disp: int,
                  finalize: bool, ncb_grid: int, nprog: int):
@@ -581,14 +582,46 @@ def _scan_kernel(cols_hbm, sent_hbm, x_hbm, cl_hbm, pk_hbm,
     if finalize:
         for ch in range(3):
             acc_s[ch] = jnp.trunc(jnp.clip(acc_s[ch], 0.0, 255.0))
-    ocopies = [pltpu.make_async_copy(
-        acc_s.at[ch],
-        out.at[pl.ds(row0, rblock), pl.ds(col0, cb)], osems.at[ch])
-        for ch, out in enumerate((or_hbm, og_hbm, ob_hbm))]
-    for c in ocopies:
-        c.start()
-    for c in ocopies:
-        c.wait()
+
+    # ---- Deferred output DMA. ------------------------------------------
+    # The result is staged into the parity slot of a 2-slot output buffer
+    # and its copy-out is NOT waited here: program pid waits the copy
+    # program pid-2 started from this same slot (reconstructing the same
+    # src/dst/semaphore descriptor — a pure semaphore decrement by then),
+    # so each store streams to HBM behind the next two programs' walks.
+    # Only the last two grid programs drain their own copies before the
+    # kernel ends. (Input prefetch uses the mirror-image pattern above.)
+    def out_copies(pid_t, si):
+        ib_t = pid_t // ncb_grid
+        r0 = pl.multiple_of(ib_t * rblock, rblock)
+        c0 = pl.multiple_of((pid_t - ib_t * ncb_grid) * cb, _LANES)
+        return [pltpu.make_async_copy(
+            ostg_s.at[si, ch],
+            out.at[pl.ds(r0, rblock), pl.ds(c0, cb)], osems.at[si, ch])
+            for ch, out in enumerate((or_hbm, og_hbm, ob_hbm))]
+
+    if nprog <= 2:
+        for ch in range(3):
+            ostg_s[slot, ch] = acc_s[ch]
+        for c in out_copies(pid, slot):
+            c.start()
+        for c in out_copies(pid, slot):
+            c.wait()
+    else:
+        @pl.when(pid >= 2)
+        def _drain_prev():
+            for c in out_copies(pid - 2, slot):
+                c.wait()
+
+        for ch in range(3):
+            ostg_s[slot, ch] = acc_s[ch]
+        for c in out_copies(pid, slot):
+            c.start()
+
+        @pl.when(pid + 2 >= nprog)
+        def _drain_own():
+            for c in out_copies(pid, slot):
+                c.wait()
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -635,9 +668,9 @@ def polylines_exact_scanline(x, cl, red, green, blue,
     # resolution; the piece-chunk loop (accumulator threaded through,
     # sequential piece order preserved for uint8 bit-parity) remains as the
     # overflow valve.
-    # (src window, sentinel, acc staging are 2-slot double buffers.)
-    fixed = (2 * (4 * local + 128 + 3 * cb) + 3 * cb + k_pieces * cb) \
-        * rblock * 4 + 2 * 3 * rblock * local * 4
+    # (src window, sentinel, acc staging, out staging are 2-slot buffers.)
+    fixed = (2 * (4 * local + 128 + 3 * cb + 3 * cb) + 3 * cb
+             + k_pieces * cb) * rblock * 4 + 2 * 3 * rblock * local * 4
     per_piece = 11 * rblock * cb * 4
     budget = int((16 << 20) / 1.2)
     k_chunk = max(1, min(k_pieces, (budget - fixed) // per_piece))
@@ -695,6 +728,7 @@ def polylines_exact_scanline(x, cl, red, green, blue,
                 pltpu.VMEM((2, rblock, 128), jnp.float32),       # sentinels
                 pltpu.VMEM((2, 3, rblock, cb), jnp.float32),     # acc staging
                 pltpu.VMEM((3, rblock, cb), jnp.float32),        # acc working
+                pltpu.VMEM((2, 3, rblock, cb), jnp.float32),     # out staging
                 pltpu.VMEM((k_pieces * rblock, cb), jnp.float32),  # slots
                 pltpu.VMEM((kc * rblock, cb), jnp.float32),      # centers
                 pltpu.VMEM((kc * rblock, cb), jnp.float32),      # sigs
@@ -704,7 +738,7 @@ def polylines_exact_scanline(x, cl, red, green, blue,
                 pltpu.VMEM((kc * rblock, cb), jnp.float32),      # fb_x0
                 pltpu.VMEM((kc * 3 * rblock, cb), jnp.float32),  # fb id
                 pltpu.SemaphoreType.DMA((2, 8)),
-                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SemaphoreType.DMA((2, 3)),
             ],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
